@@ -1,0 +1,124 @@
+"""Benchmark statistics per (industry, metric) and all-market scope.
+
+Reference: compute_benchmarks (select_xbrl_tags.py:614-715) —
+mean / median (interpolating) / max / min / index-based p25 & p75
+(sorted[int(n*q)], NOT interpolated) / sample_size ≥ 2, computed over
+the CSV-rounded (%.6f) values of the six KEY metrics, with the
+all-market group fed only by rows that *have* an industry.
+
+Drift note: the shipped reference raises NameError on the industry-
+scope sector lookup (industry_sector_map undefined at module scope,
+select_xbrl_tags.py:675) whenever any industry has ≥2 companies, so it
+effectively never emits industry benchmarks. We implement the intended
+semantics with a deterministic sector lookup (min sector per industry).
+
+Spark shape: one GROUPING SETS aggregation. mean/median/percentiles
+are computed from the per-group sorted value list in a single Arrow-
+batched pandas UDF so they carry Python-exact float semantics
+(statistics.mean is exact-rational; index percentiles are nearest-rank)
+— required for byte-identical TTL literals. Group cardinality is
+bounded by companies-per-industry, so collect_list is safe even at
+10^12-page scale (groups are per-company aggregates, not per-page).
+"""
+
+from __future__ import annotations
+
+import statistics
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    DoubleType, IntegerType, StructField, StructType,
+)
+
+from ..vocab.metrics import BENCHMARK_RANKING_METRICS
+
+_STATS_TYPE = StructType([
+    StructField("average_value", DoubleType()),
+    StructField("median_value", DoubleType()),
+    StructField("max_value", DoubleType()),
+    StructField("min_value", DoubleType()),
+    StructField("percentile25", DoubleType()),
+    StructField("percentile75", DoubleType()),
+    StructField("sample_size", IntegerType()),
+])
+
+
+@pandas_udf(_STATS_TYPE)
+def _group_stats(values: pd.Series) -> pd.DataFrame:
+    out = []
+    for vals in values:
+        vs = sorted(float(v) for v in vals)
+        n = len(vs)
+        out.append({
+            "average_value": statistics.mean(vs),
+            "median_value": statistics.median(vs),
+            "max_value": max(vs),
+            "min_value": min(vs),
+            "percentile25": vs[int(n * 0.25)],
+            "percentile75": vs[int(n * 0.75)],
+            "sample_size": n,
+        })
+    return pd.DataFrame(out)
+
+
+def _key_metric_values(observations: DataFrame) -> DataFrame:
+    """KEY-metric rows with CSV-rounded values and finite guard
+    (select_xbrl_tags.py:640-668)."""
+    v = F.round(F.col("value"), 6)
+    return observations.where(
+        (F.col("industry") != "") & F.col("industry").isNotNull()
+        & F.col("metric").isin(*BENCHMARK_RANKING_METRICS)
+        & v.isNotNull() & ~F.isnan(v)
+        & (v != float("inf")) & (v != float("-inf"))
+    ).select("cik", "symbol", "industry", "sector", "metric", v.alias("value"))
+
+
+def compute_benchmarks(
+    observations: DataFrame,
+    fy: int,
+    include_industry_scope: bool = True,
+) -> DataFrame:
+    """BENCHMARKS_SCHEMA rows. industry='' sector='' = all-market."""
+    rows = _key_metric_values(observations)
+
+    grouped = (
+        rows.groupingSets(
+            [["industry", "metric"], ["metric"]], "industry", "metric"
+        )
+        .agg(
+            F.collect_list("value").alias("vals"),
+            F.count("value").alias("n"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    if not include_industry_scope:
+        grouped = grouped.where(F.col("industry").isNull())
+
+    stats = grouped.withColumn("s", _group_stats(F.col("vals")))
+
+    # deterministic industry -> sector (reference intent; drift note above)
+    ind_sector = (
+        rows.groupBy("industry").agg(F.min("sector").alias("sector"))
+    )
+    out = (
+        stats.join(F.broadcast(ind_sector), "industry", "left")
+        .select(
+            F.coalesce(F.col("industry"), F.lit("")).alias("industry"),
+            F.when(F.col("industry").isNotNull(), F.col("sector"))
+            .otherwise(F.lit(""))
+            .alias("sector"),
+            "metric",
+            F.lit(fy).alias("fy"),
+            F.col("s.average_value").alias("average_value"),
+            F.col("s.median_value").alias("median_value"),
+            F.col("s.max_value").alias("max_value"),
+            F.col("s.min_value").alias("min_value"),
+            F.col("s.percentile25").alias("percentile25"),
+            F.col("s.percentile75").alias("percentile75"),
+            F.col("s.sample_size").alias("sample_size"),
+        )
+    )
+    return out
