@@ -1,38 +1,74 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: the full KG-construction pipeline on
+                synthesized Common-Crawl-style pages (sf0.001-scale
+                panel): html -> extraction -> fact parsing -> candidate
+                selection -> derived metrics -> triples.
+queries()     — one entry per operator family from SURVEY.md §2 plus
+                the training-data-pipeline ops (dedup / ANN / text),
+                each over the driver's testdata parquet.
+oracle_sql()  — DuckDB twins replaying the same algorithms.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end web-page KG construction -> triples DF."""
+    from edgar_finance_ontology_spark.emit.triples import build_triples
+    from edgar_finance_ontology_spark.plans.pipeline import run_pipeline
+    from edgar_finance_ontology_spark.plans.web_pipeline import (
+        pages_to_inputs,
+    )
+    from edgar_finance_ontology_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, n_buckets=8)
+    facts, companies = pages_to_inputs(pages)
+    t = run_pipeline(facts, companies, fy=2024)
+    return build_triples(
+        t["observations"], companies, t["benchmarks"], t["rankings"], fy=2024
+    )
+
+
+def _kg_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG pipeline observations (input synthesized deterministically;
+    rows-only driver check — the true oracle is the reference script,
+    exercised in tests/test_parity_*.py)."""
+    from edgar_finance_ontology_spark.emit.csv_format import (
+        observations_csv_frame,
+    )
+    from edgar_finance_ontology_spark.plans.web_pipeline import (
+        run_web_pipeline,
+    )
+    from edgar_finance_ontology_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, n_buckets=8)
+    t = run_web_pipeline(pages, fy=2024)
+    return observations_csv_frame(t["observations"])
+
+
+def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return entry(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from edgar_finance_ontology_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {name: fn for name, (fn, _sql) in QUERIES.items()}
+    out["kg_observations"] = _kg_observations
+    out["kg_triples"] = _kg_triples
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from edgar_finance_ontology_spark.queries import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql}

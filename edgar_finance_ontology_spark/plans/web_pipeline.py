@@ -1,0 +1,138 @@
+"""Web-pages front-end: pages -> extracted text -> parsed fact records
+-> the SAME selection/derivation/emission pipeline as the companyfacts
+front-end.
+
+Stage map (north_star):
+  1. extraction  — html -> text (operators/extraction.py, mapInPandas)
+  2. mention     — Aho-Corasick gazetteer hits (operators/mentions.py)
+                   for analytics; fact parsing itself is native regex
+                   (regexp_extract, JVM-side) over structured filing
+                   sentences — the reference's C21 regex-mining analog
+  3. assembly    — records dedup'd + pool-ordered -> FACTS_SCHEMA
+  4. selection/derivation/aggregation/triples — plans/pipeline.py
+
+Every stage is bucket-partitioned by url hash and checkpointable via
+plans/lineage.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.extraction import with_extracted_text
+from ..vocab.sic import sic_sector_expr
+
+# fact_sentence() layout (sources/pages.py) — the structured filing
+# sentence grammar the parser understands.
+_FACT_RE = (
+    r"CIK (\d{10}) reported (\S+) of (\S+) (\S+) for the period ending "
+    r"(\S+) \(fiscal year (\d+), fp (\S+), form (\S+), accession (\S+), "
+    r"qtrs (\S+), segment (\S+)\)\."
+)
+_PROFILE_RE = (
+    r"Company profile: (.+) \(ticker (\S+), CIK (\d{10})\) files under "
+    r"SIC (\d+) \((.+)\); fiscal year ends (\d{4})\."
+)
+
+
+def _na_null(c):
+    return F.when(c == "NA", F.lit(None).cast("string")).otherwise(c)
+
+
+def parse_fact_records(pages_with_text: DataFrame) -> DataFrame:
+    """Per-page narrow stage: explode text lines, regexp_extract each
+    fact field (whole-stage codegen). Keeps the page's `bucket` column
+    when present — this is the checkpointable per-partition stage; the
+    global dedup/pool-ordering lives in assemble_facts()."""
+    carry = ["url"] + (
+        ["bucket"] if "bucket" in pages_with_text.columns else []
+    )
+    lines = pages_with_text.select(
+        *carry, F.explode(F.split(F.col("text"), "\n")).alias("line")
+    ).where(F.col("line").rlike(_FACT_RE))
+
+    g = lambda i: F.regexp_extract("line", _FACT_RE, i)  # noqa: E731
+    return lines.select(
+        *carry,
+        g(1).alias("cik"),
+        g(2).alias("qname"),
+        g(3).cast("double").alias("val"),
+        g(4).alias("unit"),
+        g(5).alias("end"),
+        g(6).cast("int").alias("rec_fy"),
+        _na_null(g(7)).alias("fp"),
+        _na_null(g(8)).alias("form"),
+        _na_null(g(9)).alias("accn"),
+        _na_null(g(10)).cast("int").alias("qtrs"),
+        _na_null(g(11)).alias("segment"),
+    ).where(F.col("val").isNotNull())
+
+
+def assemble_facts(records: DataFrame) -> DataFrame:
+    """Global half: dedup replicated records (head-entity page copies),
+    assign the deterministic pool order -> FACTS_SCHEMA."""
+    recs = records.dropDuplicates(
+        ["cik", "qname", "unit", "val", "end", "fp", "rec_fy", "form",
+         "accn", "qtrs", "segment"]
+    )
+    # deterministic pool order within (cik, qname, unit): by period end,
+    # then accession, then consolidated-before-segmented — matches the
+    # synthetic filings' array order (and is our documented order for
+    # real web data, where no array order exists)
+    w = Window.partitionBy("cik", "qname", "unit").orderBy(
+        F.col("end").asc_nulls_first(),
+        F.col("accn").asc_nulls_first(),
+        F.col("segment").isNotNull().asc(),
+        F.col("val").asc(),
+    )
+    return recs.select(
+        "cik", "qname", "unit", "val", "end",
+        F.lit(None).cast("string").alias("start"),
+        "fp", "rec_fy", "form", "accn", "qtrs",
+        (F.col("segment").isNotNull() & (F.col("segment") != "")).alias(
+            "has_segment"
+        ),
+        F.lit(None).cast("string").alias("frame"),
+        (F.row_number().over(w) - 1).cast("int").alias("rec_pos"),
+    )
+
+
+def parse_company_profiles(pages_with_text: DataFrame) -> DataFrame:
+    """profile sentences -> COMPANIES_SCHEMA (sector via SIC ladder,
+    industry = sic_description; infer_sector_industry analog)."""
+    lines = pages_with_text.select(
+        F.explode(F.split(F.col("text"), "\n")).alias("line")
+    ).where(F.col("line").rlike(_PROFILE_RE))
+    g = lambda i: F.regexp_extract("line", _PROFILE_RE, i)  # noqa: E731
+    prof = lines.select(
+        g(2).alias("symbol"),
+        g(3).alias("cik"),
+        g(1).alias("name"),
+        g(4).alias("sic"),
+        g(5).alias("sic_description"),
+        g(6).alias("fye"),
+    ).dropDuplicates(["cik"])
+    sic_int = F.col("sic").try_cast("int")
+    sector = sic_sector_expr(sic_int)
+    return prof.select(
+        "symbol", "cik", "name",
+        sector.alias("sector"),
+        F.when(F.col("sic_description") != "", F.col("sic_description"))
+        .otherwise(sector)
+        .alias("industry"),
+        "sic", "sic_description", "fye",
+    )
+
+
+def pages_to_inputs(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(facts, companies) from a raw pages table."""
+    p = with_extracted_text(pages)
+    return assemble_facts(parse_fact_records(p)), parse_company_profiles(p)
+
+
+def run_web_pipeline(pages: DataFrame, fy: int, **kw) -> dict:
+    from .pipeline import run_pipeline
+
+    facts, companies = pages_to_inputs(pages)
+    return run_pipeline(facts, companies, fy, **kw)

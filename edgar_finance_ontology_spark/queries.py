@@ -1,0 +1,839 @@
+"""Driver-contract query registry: every operator family from
+SURVEY.md §2 exercised over the driver's testdata tables, each with a
+DuckDB-oracle SQL twin (same algorithm, engine-portable primitives).
+
+Conventions for cross-engine value-hash parity:
+  * money/metric aggregates: exact DECIMAL sums, then round(double, 6)
+    for any division — identical bits in both engines;
+  * hashes: md5 (same hex in Spark and DuckDB);
+  * rank ties: explicit deterministic tie-break columns;
+  * timestamps surfaced as ISO strings or int years.
+
+Each entry: NAME -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql
+or None). Oracle SQL runs on DuckDB views named after the parquet
+files (region nation customer supplier part orders lineitem events
+documents embeddings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------
+# 1. Relational core (reference operator families F/J/A/W/O/U)
+# --------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf):
+    """A1-style multi-aggregate scan (filter pushdown + partial agg).
+    TPC-H Q1 analog on lineitem."""
+    li = _t(spark, sf, "lineitem")
+    out = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("dq"),
+            F.sum(F.col("l_extendedprice").cast("decimal(20,2)")).alias("dp"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(24,6)")
+            ).alias("ddp"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.round(F.col("dq").cast("double"), 2).alias("sum_qty"),
+            F.round(F.col("dp").cast("double"), 2).alias("sum_base_price"),
+            F.round(F.col("ddp").cast("double"), 4).alias("sum_disc_price"),
+            F.round(
+                F.col("dq").cast("double") / F.col("count_order"), 6
+            ).alias("avg_qty"),
+            "count_order",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    return out
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_disc_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_star_join_revenue(spark, sf):
+    """J1/J2-style star join with broadcast dims: revenue per region x
+    order year (Catalyst broadcasts every dim)."""
+    li, o = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    c, n, r = _t(spark, sf, "customer"), _t(spark, sf, "nation"), _t(spark, sf, "region")
+    out = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"),
+                 F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(24,6)")
+            ).alias("rev"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .select(
+            "region", "order_year",
+            F.round(F.col("rev").cast("double"), 4).alias("revenue"),
+            "n_orders",
+        )
+        .orderBy("region", "order_year")
+    )
+    return out
+
+
+SQL_STAR_JOIN = """
+SELECT r_name AS region, EXTRACT(year FROM o_orderdate) AS order_year,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE), 4) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_top10_per_group(spark, sf):
+    """W1: windowed Top-10 per group with deterministic tie-break
+    (the reference's per-(industry, metric) Top10)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("rnk").alias("rank"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .orderBy("priority", "rank")
+    )
+
+
+SQL_TOP10 = """
+SELECT priority, rank, orderkey, totalprice FROM (
+  SELECT o_orderpriority AS priority,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank,
+         o_orderkey AS orderkey, round(o_totalprice, 2) AS totalprice
+  FROM orders) t
+WHERE rank <= 10 ORDER BY priority, rank
+"""
+
+
+def q_yoy_growth(spark, sf):
+    """W6/C13: per-customer yearly totals + lag growth (the reference's
+    prior-fiscal-year join as a window)."""
+    o = _t(spark, sf, "orders")
+    yearly = (
+        o.groupBy(F.col("o_custkey").alias("custkey"),
+                  F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(20,2)")).alias("tot"))
+    )
+    w = Window.partitionBy("custkey").orderBy("yr")
+    out = (
+        yearly.withColumn("prev", F.lag("tot").over(w))
+        .select(
+            "custkey", "yr",
+            F.round(F.col("tot").cast("double"), 2).alias("total"),
+            F.when(
+                F.col("prev").isNotNull() & (F.col("prev") != 0),
+                F.round(
+                    (F.col("tot") - F.col("prev")).cast("double")
+                    / F.col("prev").cast("double"),
+                    6,
+                ),
+            ).alias("growth"),
+        )
+        .orderBy("custkey", "yr")
+    )
+    return out
+
+
+SQL_YOY = """
+WITH yearly AS (
+  SELECT o_custkey AS custkey, EXTRACT(year FROM o_orderdate) AS yr,
+         sum(CAST(o_totalprice AS DECIMAL(20,2))) AS tot
+  FROM orders GROUP BY 1, 2)
+SELECT custkey, yr, round(CAST(tot AS DOUBLE), 2) AS total,
+       CASE WHEN lag(tot) OVER w IS NOT NULL AND lag(tot) OVER w <> 0
+            THEN round(CAST(tot - lag(tot) OVER w AS DOUBLE)
+                       / CAST(lag(tot) OVER w AS DOUBLE), 6) END AS growth
+FROM yearly WINDOW w AS (PARTITION BY custkey ORDER BY yr)
+ORDER BY custkey, yr
+"""
+
+
+def q_asof_pick(spark, sf):
+    """J4/W5: smart_pick analog — per customer, the order whose date is
+    closest to an anchor, priority-class bonus, ties -> later date,
+    then key. (argmax via one window.)"""
+    o = _t(spark, sf, "orders")
+    anchor = F.lit("1995-06-30").cast("timestamp")
+    score = (
+        -F.abs(F.datediff(F.col("o_orderdate"), anchor))
+        + F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 5)
+        .otherwise(0)
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("score").desc(), F.col("o_orderdate").desc(),
+        F.col("o_orderkey").asc(),
+    )
+    return (
+        o.withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("picked_order"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("score").cast("int").alias("score"),
+        )
+        .orderBy("custkey")
+    )
+
+
+SQL_ASOF = """
+SELECT custkey, picked_order, orderdate, score FROM (
+  SELECT o_custkey AS custkey, o_orderkey AS picked_order,
+         strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         CAST(-abs(date_diff('day', TIMESTAMP '1995-06-30 00:00:00', o_orderdate))
+              + CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 5 ELSE 0 END AS INT) AS score,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY (-abs(date_diff('day', TIMESTAMP '1995-06-30 00:00:00', o_orderdate))
+                                      + CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 5 ELSE 0 END) DESC,
+                                     o_orderdate DESC, o_orderkey ASC) AS rn
+  FROM orders) t
+WHERE rn = 1 ORDER BY custkey
+"""
+
+
+def q_semi_anti(spark, sf):
+    """J9/J12: left-semi + left-anti — customers with >=1 order but no
+    urgent order."""
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    with_orders = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    out = with_orders.join(
+        urgent, with_orders["c_custkey"] == urgent["o_custkey"], "left_anti"
+    )
+    return out.select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    ).orderBy("custkey")
+
+
+SQL_SEMI_ANTI = """
+SELECT c_custkey AS custkey, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+ORDER BY custkey
+"""
+
+
+def q_grouping_sets(spark, sf):
+    """A1: GROUPING SETS benchmark shape — acctbal stats per (nation,
+    segment) and per (segment), n>=2 gate, index-based percentiles
+    (the reference's sorted[int(n*q)], A1b)."""
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    j = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    g = (
+        j.groupingSets([["nation", "segment"], ["segment"]],
+                       "nation", "segment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("bal").cast("decimal(20,2)")).alias("s"),
+            F.sort_array(F.collect_list(F.round("bal", 2))).alias("vals"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    out = g.select(
+        F.coalesce(F.col("nation"), F.lit("")).alias("nation"),
+        "segment",
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("avg_bal"),
+        F.element_at(
+            "vals", (F.floor(F.col("n") * 0.25) + 1).cast("int")
+        ).alias("p25"),
+        F.element_at(
+            "vals", (F.floor(F.col("n") * 0.75) + 1).cast("int")
+        ).alias("p75"),
+    ).orderBy("nation", "segment")
+    return out
+
+
+SQL_GROUPING_SETS = """
+WITH j AS (
+  SELECT n_name AS nation, c_mktsegment AS segment, c_acctbal AS bal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+g AS (
+  SELECT CASE WHEN GROUPING(nation) = 1 THEN '' ELSE nation END AS nation,
+         segment, count(*) AS n,
+         sum(CAST(bal AS DECIMAL(20,2))) AS s,
+         list_sort(list(round(bal, 2))) AS vals
+  FROM j GROUP BY GROUPING SETS ((nation, segment), (segment)))
+SELECT nation, segment, n,
+       round(CAST(s AS DOUBLE) / n, 6) AS avg_bal,
+       vals[CAST(floor(n * 0.25) AS INT) + 1] AS p25,
+       vals[CAST(floor(n * 0.75) AS INT) + 1] AS p75
+FROM g WHERE n >= 2 ORDER BY nation, segment
+"""
+
+
+def q_pivot_events(spark, sf):
+    """J6/A2: wide pivot — per-user event-type counts + value sums."""
+    e = _t(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy(F.col("user_id").alias("user"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    cols = [F.col("user")] + [
+        F.col(f"`{t}`").cast("long").alias(f"n_{t}") for t in types
+    ]
+    return out.select(*cols).orderBy("user")
+
+
+SQL_PIVOT = """
+SELECT user_id AS user,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_composite_rank(spark, sf):
+    """A3/W4: min-max-normalized composite score + rank per nation —
+    the reference's composite ranking shape on customer balances."""
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    j = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    w = Window.partitionBy("n_name")
+    mn, mx = F.min("c_acctbal").over(w), F.max("c_acctbal").over(w)
+    norm = F.when(mx == mn, F.lit(0.5)).otherwise(
+        (F.col("c_acctbal") - mn) / (mx - mn)
+    )
+    wr = Window.partitionBy("n_name").orderBy(
+        F.col("norm").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        j.withColumn("norm", norm)
+        .withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 5)
+        .select(
+            F.col("n_name").alias("nation"), F.col("rnk").alias("rank"),
+            F.col("c_custkey").alias("custkey"),
+            F.round("norm", 6).alias("score"),
+        )
+        .orderBy("nation", "rank")
+    )
+
+
+SQL_COMPOSITE = """
+WITH sc AS (
+  SELECT n_name AS nation, c_custkey AS custkey,
+         CASE WHEN max(c_acctbal) OVER w = min(c_acctbal) OVER w THEN 0.5
+              ELSE (c_acctbal - min(c_acctbal) OVER w)
+                   / (max(c_acctbal) OVER w - min(c_acctbal) OVER w) END AS raw
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WINDOW w AS (PARTITION BY n_name)),
+r AS (
+  SELECT nation, custkey, round(raw, 6) AS score,
+         row_number() OVER (PARTITION BY nation
+                            ORDER BY raw DESC, custkey ASC) AS rank
+  FROM sc)
+SELECT nation, rank, custkey, score FROM r
+WHERE rank <= 5 ORDER BY nation, rank
+"""
+
+
+def q_sessionize(spark, sf):
+    """Streaming-analog sessionization in batch (W6 + cumulative sum):
+    session = new when gap > 30 min; output session stats."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        e.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(ws).cast("long"))
+    )
+    return (
+        sess.groupBy(F.col("user_id").alias("user"), "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).alias("v"),
+        )
+        .select(
+            "user", "session_id", "n_events",
+            F.round(F.col("v").cast("double"), 6).alias("total_value"),
+        )
+        .orderBy("user", "session_id")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g)
+SELECT user_id AS user, session_id, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 6) AS total_value
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_json_props(spark, sf):
+    """C22-analog: JSON extraction + agg over events.props."""
+    e = _t(spark, sf, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy(F.col("event_type").alias("etype"))
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("etype")
+    )
+
+
+SQL_JSON = """
+SELECT event_type AS etype, count(CAST(props->>'k' AS INT)) AS n,
+       CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+       min(CAST(props->>'k' AS INT)) AS min_k,
+       max(CAST(props->>'k' AS INT)) AS max_k
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# 2. Training-data pipeline ops (dedup / similarity / text analysis)
+# --------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    from .operators.dedup import exact_duplicate_groups
+
+    d = _t(spark, sf, "documents")
+    g = exact_duplicate_groups(d)
+    return (
+        g.groupBy()
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum(F.when(F.col("n_docs") > 1, F.col("n_docs") - 1)
+                  .otherwise(0)).alias("n_redundant"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+WITH g AS (SELECT md5(text) h, count(*) AS n_docs FROM documents GROUP BY 1)
+SELECT count(*) AS n_groups, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END) AS BIGINT) AS n_redundant
+FROM g
+"""
+
+
+def q_minhash_lsh(spark, sf):
+    """MinHash + banded LSH candidate pairs, exact-Jaccard verified.
+    Fully deterministic (md5 minhashes) -> the oracle replays it."""
+    from .operators.dedup import (
+        jaccard_on_pairs, lsh_bands, lsh_candidate_pairs,
+        minhash_signatures, word_shingles,
+    )
+
+    d = _t(spark, sf, "documents")
+    sigs = minhash_signatures(d, n_hashes=8)
+    pairs = lsh_candidate_pairs(lsh_bands(sigs, bands=4))
+    sh = word_shingles(d)
+    j = jaccard_on_pairs(pairs, sh)
+    return (
+        j.where(F.col("jaccard") >= 0.05)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_MINHASH_LSH = """
+WITH toks AS (
+  SELECT doc_id AS id, string_split(trim(lower(text)), ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
+  FROM toks, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)
+  WHERE len(t) - 3 >= 0 OR i = 0),
+sh3 AS (SELECT id, shingle FROM sh WHERE len(string_split(shingle, ' ')) = 3),
+mh AS (
+  SELECT id, seed, min(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS minhash
+  FROM sh3, UNNEST(range(0, 8)) AS s(seed) GROUP BY 1, 2),
+bands AS (
+  SELECT id, seed % 4 AS band,
+         md5(list_aggregate(list_sort(list(concat(CAST(seed AS VARCHAR), ':', minhash))), 'string_agg', ',')) AS bucket
+  FROM mh GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id < b.id),
+sizes AS (SELECT id, count(*) AS n FROM sh3 GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c JOIN sh3 a ON a.id = c.id_a JOIN sh3 b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+jac AS (
+  SELECT c.id_a, c.id_b,
+         COALESCE(i.inter, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.inter, 0)) AS jaccard
+  FROM cand c LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+  JOIN sizes sa ON sa.id = c.id_a JOIN sizes sb ON sb.id = c.id_b)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= 0.05 ORDER BY id_a, id_b
+"""
+
+
+def q_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard near-dup pairs via inverted shingle join."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.12).orderBy("id_a", "id_b")
+
+
+SQL_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id AS id, string_split(trim(lower(text)), ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
+  FROM toks, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)),
+sh3 AS (SELECT id, shingle FROM sh WHERE len(string_split(shingle, ' ')) = 3),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle WHERE a.id < b.id),
+sizes AS (SELECT id, count(*) AS n FROM sh3 GROUP BY 1),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS inter
+  FROM pairs p JOIN sh3 a ON a.id = p.id_a
+  JOIN sh3 b ON b.id = p.id_b AND b.shingle = a.shingle GROUP BY 1, 2),
+jac AS (
+  SELECT p.id_a, p.id_b,
+         COALESCE(i.inter, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.inter, 0)) AS jaccard
+  FROM pairs p LEFT JOIN inter i USING (id_a, id_b)
+  JOIN sizes sa ON sa.id = p.id_a JOIN sizes sb ON sb.id = p.id_b)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= 0.12 ORDER BY id_a, id_b
+"""
+
+
+def q_simhash(spark, sf):
+    """16-bit simhash signature histogram (near-dup fingerprinting)."""
+    from .operators.dedup import simhash16
+
+    d = _t(spark, sf, "documents")
+    s = simhash16(d)
+    return (
+        s.groupBy("simhash").agg(F.count("*").alias("n_docs"),
+                                 F.min("id").alias("min_id"))
+        .orderBy("simhash")
+    )
+
+
+SQL_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+  FROM documents),
+h AS (SELECT id, md5(tok) AS h FROM toks WHERE tok <> ''),
+bits AS (
+  SELECT id, j, sum(CASE WHEN substr(h, j, 1) >= '8' THEN 1 ELSE -1 END) AS s
+  FROM h, UNNEST(range(1, 17)) AS u(j) GROUP BY 1, 2),
+sig AS (
+  SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+  FROM bits GROUP BY 1)
+SELECT simhash, count(*) AS n_docs, min(id) AS min_id
+FROM sig GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_ann_cosine_topk(spark, sf):
+    """Brute-force cosine top-5 neighbors for the 20 lowest vec_ids."""
+    from .operators.similarity import brute_force_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.orderBy("vec_id").limit(20)
+    return brute_force_topk(e, q, k=5).orderBy("query_id", "rank")
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 20),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM s)
+SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_ann_ivf_cell(spark, sf):
+    """IVF-style ANN: search restricted to the query's coarse cell
+    (label = cell id); top-3 per query for the 10 lowest vec_ids."""
+    from .operators.similarity import cell_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.orderBy("vec_id").limit(10)
+    return cell_topk(e, q, k=3).orderBy("query_id", "rank")
+
+
+SQL_ANN_IVF = """
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings ORDER BY vec_id LIMIT 10),
+s AS (
+  SELECT q.vec_id AS query_id, q.label AS cell, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.vec_id),
+r AS (
+  SELECT query_id, cell, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM s)
+SELECT query_id, cell, rank, neighbor_id, round(cos, 6) AS cos
+FROM r WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
+def q_lang_id(spark, sf):
+    from .operators.textops import lang_id
+
+    d = _t(spark, sf, "documents")
+    out = lang_id(d)
+    return (
+        out.groupBy("guess_lang")
+        .agg(F.count("*").alias("n"), F.sum("score").cast("long").alias("total_score"))
+        .orderBy("guess_lang")
+    )
+
+
+SQL_LANG_ID = """
+WITH toks AS (
+  SELECT doc_id AS id, string_split(trim(lower(text)), ' ') AS t FROM documents),
+sc AS (
+  SELECT id,
+    len(list_filter(t, x -> x IN ('der','und','die','ist','ein'))) AS s_de,
+    len(list_filter(t, x -> x IN ('the','and','of','is','a'))) AS s_en,
+    len(list_filter(t, x -> x IN ('el','y','la','es','un'))) AS s_es,
+    len(list_filter(t, x -> x IN ('le','et','la','est','un'))) AS s_fr
+  FROM toks),
+pick AS (
+  SELECT id,
+    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+         WHEN s_en > s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         WHEN s_es > s_de AND s_es > s_en AND s_es >= s_fr AND s_es > 0 THEN 'es'
+         WHEN s_fr > s_de AND s_fr > s_en AND s_fr > s_es AND s_fr > 0 THEN 'fr'
+         ELSE 'und' END AS guess_lang,
+    greatest(s_de, s_en, s_es, s_fr) AS score
+  FROM sc)
+SELECT guess_lang, count(*) AS n, CAST(sum(score) AS BIGINT) AS total_score
+FROM pick GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_quality(spark, sf):
+    from .operators.textops import quality_scores
+
+    d = _t(spark, sf, "documents")
+    q = quality_scores(d)
+    return (
+        q.groupBy("quality")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("stop_ratio").cast("decimal(20,6)"))
+                .cast("double"), 6
+            ).alias("sum_stop_ratio"),
+        )
+        .orderBy("quality")
+    )
+
+
+SQL_QUALITY = """
+WITH q AS (
+  SELECT doc_id AS id, length(text) AS n_chars,
+         len(string_split(trim(lower(text)), ' ')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         len(list_filter(string_split(trim(lower(text)), ' '),
+             x -> x IN ('the','a','of','and','is','to','in'))) AS stop,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS n_nospace
+  FROM documents),
+m AS (
+  SELECT id, n_chars,
+         CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0 THEN stop::DOUBLE / n_tokens ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_tokens > 0 THEN n_nospace::DOUBLE / n_tokens ELSE 0.0 END AS mean_word_len
+  FROM q),
+s AS (
+  SELECT id, round(stop_ratio, 6) AS stop_ratio,
+         round((CASE WHEN n_chars >= 200 THEN 0.25 WHEN n_chars >= 50 THEN 0.15 ELSE 0.0 END)
+         + (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.6 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 0.25 ELSE 0.0 END), 2) AS quality
+  FROM m)
+SELECT quality, count(*) AS n,
+       round(CAST(sum(CAST(stop_ratio AS DECIMAL(20,6))) AS DOUBLE), 6) AS sum_stop_ratio
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_token_counts(spark, sf):
+    from .operators.textops import token_counts
+
+    d = _t(spark, sf, "documents")
+    t = token_counts(d)
+    return (
+        t.groupBy()
+        .agg(
+            F.sum("ws_tokens").alias("total_ws"),
+            F.sum("bpe_tokens").alias("total_bpe"),
+            F.max("ws_tokens").alias("max_ws"),
+        )
+    )
+
+
+SQL_TOKENS = """
+SELECT CAST(sum(len(string_split(trim(lower(text)), ' '))) AS BIGINT) AS total_ws,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))) AS BIGINT) AS total_bpe,
+       max(len(string_split(trim(lower(text)), ' '))) AS max_ws
+FROM documents
+"""
+
+
+def q_fingerprints(spark, sf):
+    from .operators.textops import fingerprints
+
+    d = _t(spark, sf, "documents")
+    fp = fingerprints(d)
+    return (
+        fp.groupBy("fingerprint").agg(F.count("*").alias("n_docs"),
+                                      F.min("id").alias("min_id"))
+        .orderBy("fingerprint")
+    )
+
+
+SQL_FINGERPRINTS = """
+WITH g AS (
+  SELECT doc_id AS id,
+         list_min(list_transform(range(1, greatest(length(text) - 8 + 1, 1) + 1),
+                                 i -> md5(substr(text, i, 8)))) AS fingerprint
+  FROM documents)
+SELECT fingerprint, count(*) AS n_docs, min(id) AS min_id
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_gazetteer_mentions(spark, sf):
+    """Aho-Corasick gazetteer matching over documents.text — counted
+    per term; the oracle counts via substring arithmetic (terms chosen
+    non-self-overlapping so the counts agree)."""
+    from .operators.mentions import detect_mentions
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    terms = [("spark", "t"), ("join", "t"), ("window", "t"),
+             ("customer", "t"), ("vector", "t")]
+    m = detect_mentions(d, terms)
+    return (
+        m.groupBy("term").agg(F.count("*").alias("n_mentions"),
+                              F.countDistinct("url").alias("n_docs"))
+        .orderBy("term")
+    )
+
+
+SQL_GAZETTEER = """
+WITH t AS (SELECT unnest(['spark','join','window','customer','vector']) AS term),
+c AS (
+  SELECT t.term, d.doc_id,
+         (length(lower(d.text)) - length(replace(lower(d.text), t.term, '')))
+           / length(t.term) AS cnt
+  FROM documents d CROSS JOIN t)
+SELECT term, CAST(sum(cnt) AS BIGINT) AS n_mentions, count(*) FILTER (WHERE cnt > 0) AS n_docs
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------
+
+QUERIES = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "star_join_revenue": (q_star_join_revenue, SQL_STAR_JOIN),
+    "top10_per_group": (q_top10_per_group, SQL_TOP10),
+    "yoy_growth": (q_yoy_growth, SQL_YOY),
+    "asof_pick": (q_asof_pick, SQL_ASOF),
+    "semi_anti": (q_semi_anti, SQL_SEMI_ANTI),
+    "grouping_sets_benchmarks": (q_grouping_sets, SQL_GROUPING_SETS),
+    "pivot_events": (q_pivot_events, SQL_PIVOT),
+    "composite_rank": (q_composite_rank, SQL_COMPOSITE),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "json_props": (q_json_props, SQL_JSON),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_lsh_dedup": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "ngram_jaccard_dedup": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "simhash_dedup": (q_simhash, SQL_SIMHASH),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
+    "ann_ivf_cell": (q_ann_ivf_cell, SQL_ANN_IVF),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "quality_scores": (q_quality, SQL_QUALITY),
+    "token_counts": (q_token_counts, SQL_TOKENS),
+    "doc_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "gazetteer_mentions": (q_gazetteer_mentions, SQL_GAZETTEER),
+}
