@@ -1,0 +1,113 @@
+"""Canonicalization: connected components by iterative label
+propagation (GraphFrames-style) on an edge DataFrame.
+
+north_rule: "canonicalization via connected-components (label
+propagation on a salted edge DataFrame)". The reference dedups
+entities by exact CIK key (select_xbrl_tags.py:149-164); at web scale
+identity edges come from coreference / alias matches, so equality
+closes over a graph.
+
+Algorithm (large-star-ish min-label propagation):
+  label(v) := v
+  repeat: label(v) := min(label(v), min over neighbors of label(u))
+  until no label changes.
+
+Physical notes:
+  * edges are symmetrized once; each iteration is one join + one
+    groupBy(min) — two shuffles on the same key, AQE-coalesced;
+  * head-entity skew: the join key is salted (`salt_buckets` splits a
+    hot vertex's adjacency across buckets; the min-aggregation runs
+    two-phase: per-(vertex, salt) partial min, then per-vertex final);
+  * lineage is cut every `checkpoint_every` iterations via
+    localCheckpoint to stop plan growth (driver-loop iterative jobs
+    otherwise re-derive the whole chain each pass);
+  * convergence for a path of length L needs O(log L) doubling rounds
+    with large-star; this simple propagation needs O(L) — fine for
+    short identity chains (alias graphs are shallow); `max_iter`
+    asserts the fixpoint was reached.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    checkpoint_every: int = 5,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """-> (id, component) where component = min vertex id reachable.
+
+    Vertex ids must be orderable (string or numeric).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+           .distinct().cache()
+
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+
+    for it in range(max_iter):
+        # propagate: candidate label for b = label(a) over each edge,
+        # salted two-phase min to keep hot vertices off one reducer
+        cand = (
+            sym.join(labels.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id"), "component")
+        )
+        salted = cand.withColumn(
+            "salt", F.pmod(F.crc32(F.col("component").cast("string")),
+                           F.lit(salt_buckets))
+        )
+        partial = salted.groupBy("id", "salt").agg(
+            F.min("component").alias("component")
+        )
+        incoming = partial.groupBy("id").agg(
+            F.min("component").alias("new_component")
+        )
+        nxt = (
+            labels.join(incoming, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("new_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
+    return labels
+
+
+def duplicate_clusters(pair_df: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b") -> DataFrame:
+    """Near-duplicate doc clusters from a similarity pair list:
+    (id, cluster_id) with cluster_id = min doc id in the component.
+    Singletons (docs without pairs) are not emitted."""
+    return connected_components(pair_df, src=id_a, dst=id_b).select(
+        F.col("id"), F.col("component").alias("cluster_id")
+    )

@@ -56,12 +56,19 @@ def run_pipeline(
     """All output tables. Benchmarks/rankings are computed from the
     observations exactly as the reference recomputes them from
     tags.csv."""
+    # cache the (possibly expensively derived) inputs: selection scans
+    # facts three times (standard / relaxed / direct-growth)
+    facts = facts.cache()
+    companies = companies.cache()
     obs = build_observations(
         facts, companies, fy, tol_days, prefer_unit, include_derived
     )
-    obs = obs.cache()
-    benchmarks = compute_benchmarks(obs, fy)
-    rankings = compute_rankings(obs, fy)
+    # localCheckpoint truncates the (very large) selection plan — every
+    # downstream job would otherwise pay full Catalyst re-analysis of
+    # the 27-spec selection tree (~10s of driver time PER ACTION)
+    obs = obs.localCheckpoint(eager=True)
+    benchmarks = compute_benchmarks(obs, fy).cache()
+    rankings = compute_rankings(obs, fy).cache()
     return {
         "observations": obs,
         "benchmarks": benchmarks,

@@ -809,6 +809,55 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+
+def q_doc_dup_clusters(spark, sf):
+    """Canonicalization: connected components (salted label
+    propagation) over the exact n-gram-Jaccard near-dup pair graph ->
+    (id, cluster_id = min doc in component). The oracle replays the
+    closure with a recursive CTE."""
+    from .operators.canonicalize import duplicate_clusters
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.12)
+    return duplicate_clusters(pairs).orderBy("id")
+
+
+SQL_DOC_CLUSTERS = """
+WITH toks AS (
+  SELECT doc_id AS id, string_split(trim(lower(text)), ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
+  FROM toks, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)),
+sh3 AS (SELECT id, shingle FROM sh WHERE len(string_split(shingle, ' ')) = 3),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle WHERE a.id < b.id),
+sizes AS (SELECT id, count(*) AS n FROM sh3 GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c JOIN sh3 a ON a.id = c.id_a
+  JOIN sh3 b ON b.id = c.id_b AND b.shingle = a.shingle GROUP BY 1, 2),
+pairs0 AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+  JOIN sizes sa ON sa.id = c.id_a JOIN sizes sb ON sb.id = c.id_b
+  WHERE i.inter::DOUBLE / (sa.n + sb.n - i.inter) >= 0.12),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs0
+  UNION SELECT id_b, id_a FROM pairs0),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a WHERE r.a <> s.b)
+  SELECT * FROM r),
+nodes AS (SELECT DISTINCT a AS id FROM sym)
+SELECT n.id, least(n.id, min(r.b)) AS cluster_id
+FROM nodes n JOIN reach r ON r.a = n.id
+GROUP BY n.id ORDER BY n.id
+"""
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -836,4 +885,5 @@ QUERIES = {
     "token_counts": (q_token_counts, SQL_TOKENS),
     "doc_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "gazetteer_mentions": (q_gazetteer_mentions, SQL_GAZETTEER),
+    "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_CLUSTERS),
 }

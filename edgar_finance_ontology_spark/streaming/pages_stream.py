@@ -1,0 +1,72 @@
+"""Structured Streaming skin over the batch stage functions.
+
+The reference is a per-fiscal-year batch snapshot (SURVEY.md §2.9), so
+streaming is an incremental-processing skin, not a semantic change:
+the same extraction/parse transformations run under
+Trigger.AvailableNow over a file-backed pages table (the stand-in for
+an Iceberg streaming scan), appending parsed fact records exactly-once
+per input file via the checkpoint.
+
+Also provides the late-data pattern the events surface needs:
+watermarked sliding-window aggregation over an event stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extraction import with_extracted_text
+from ..plans.web_pipeline import parse_fact_records
+from ..sources.schemas import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, pages_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(pages_dir)
+    )
+
+
+def stream_facts(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """pages parquet dir -> extracted fact records, incrementally.
+    Returns the StreamingQuery (AvailableNow: drains what exists, then
+    stops; re-running picks up only new files — batch-incremental
+    resume, the streaming twin of plans/lineage.py)."""
+    pages = read_pages_stream(spark, pages_dir)
+    facts = parse_fact_records(with_extracted_text(pages))
+    return (
+        facts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked (late-data-tolerant) windowed aggregation:
+    (window, event_type) -> count + value sum."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type", "n", "total_value",
+        )
+    )

@@ -1,0 +1,100 @@
+"""Connected components + entity linking tests."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _expected_components(edges):
+    """tiny pure-Python union-find as the oracle."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {v: find(v) for v in list(parent)}
+
+
+def test_connected_components_basic_and_skewed(spark):
+    from edgar_finance_ontology_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    # two chains, one star (hub 100 with 40 spokes = head-entity skew),
+    # one singleton pair
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11)]
+    edges += [(100, 200 + i) for i in range(40)]
+    edges += [(500, 501)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, salt_buckets=4).collect()
+    }
+    exp = _expected_components(edges)
+    assert got == exp
+
+
+def test_connected_components_long_chain_converges(spark):
+    from edgar_finance_ontology_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = connected_components(df, max_iter=40)
+    assert got.select("component").distinct().count() == 1
+    assert got.agg(F.min("component")).collect()[0][0] == 0
+
+
+def test_link_mentions_tfidf_prior(spark):
+    from edgar_finance_ontology_spark.operators.linking import link_mentions
+
+    mentions = spark.createDataFrame(
+        [
+            ("m1", "quarterly revenue guidance cloud software earnings", "acme"),
+            ("m2", "fruit orchard harvest apples farming", "acme"),
+        ],
+        "mention_id string, context_text string, surface string",
+    )
+    entities = spark.createDataFrame(
+        [
+            ("E_TECH", "cloud software revenue earnings platform"),
+            ("E_FARM", "orchard apples farming harvest fruit"),
+        ],
+        "entity_id string, profile_text string",
+    )
+    candidates = spark.createDataFrame(
+        [("acme", "E_TECH", 0.6), ("acme", "E_FARM", 0.4)],
+        "surface string, entity_id string, prior double",
+    )
+    out = link_mentions(mentions, entities, candidates, alpha=0.7)
+    best = {
+        r["mention_id"]: r["entity_id"]
+        for r in out.where("rank = 1").collect()
+    }
+    # context must override the prior for m2
+    assert best == {"m1": "E_TECH", "m2": "E_FARM"}
+
+
+def test_doc_dup_clusters_vs_duckdb(spark):
+    import sys
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare, duck_connection
+
+    from edgar_finance_ontology_spark.queries import QUERIES
+
+    fn, sql = QUERIES["doc_dup_clusters"]
+    con = duck_connection("/root/testdata/sf0.001")
+    r = compare(fn(spark, "/root/testdata/sf0.001"), con, sql)
+    assert r["match"], r

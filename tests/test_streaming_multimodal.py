@@ -1,0 +1,91 @@
+"""Streaming skin + multimodal plumbing tests."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_stream_facts_incremental(spark, tmp_path):
+    """AvailableNow streaming over the pages dir must produce the same
+    fact records as batch, and a second run adds nothing new."""
+    from edgar_finance_ontology_spark.operators.extraction import (
+        with_extracted_text,
+    )
+    from edgar_finance_ontology_spark.plans.web_pipeline import (
+        parse_fact_records,
+    )
+    from edgar_finance_ontology_spark.sources.pages import synthesize_pages
+    from edgar_finance_ontology_spark.streaming.pages_stream import (
+        stream_facts,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "facts_out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = synthesize_pages(spark, n_buckets=4).drop("bucket")
+    pages.write.parquet(pages_dir)
+
+    q = stream_facts(spark, pages_dir, out_dir, ckpt)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir)
+    want = parse_fact_records(with_extracted_text(pages))
+    key = ["cik", "qname", "unit", "val", "end", "fp", "accn", "url"]
+    a = got.select(*key).toPandas().sort_values(key).reset_index(drop=True)
+    b = want.select(*key).toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # resume: no new files -> no new rows
+    n1 = got.count()
+    q2 = stream_facts(spark, pages_dir, out_dir, ckpt)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out_dir).count() == n1
+
+
+def test_windowed_event_counts_batch_semantics(spark):
+    """The watermarked windowed agg, applied to a bounded stream, must
+    equal the batch window aggregation."""
+    from edgar_finance_ontology_spark.streaming.pages_stream import (
+        windowed_event_counts,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    stream_like = e  # batch DF through the same transformation
+    got = windowed_event_counts(stream_like, window="30 minutes")
+    batch = (
+        e.groupBy(F.window("ts", "30 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type", "n", "total_value",
+        )
+    )
+    key = ["window_start", "event_type"]
+    a = got.toPandas().sort_values(key).reset_index(drop=True)
+    b = batch.toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_multimodal_plumbing(spark):
+    from edgar_finance_ontology_spark.operators.multimodal import (
+        feature_embed, image_metadata, sample_frames,
+    )
+    from edgar_finance_ontology_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, noise_pages=2, n_buckets=2).limit(10)
+    meta = image_metadata(pages, "url", "html")
+    rows = meta.collect()
+    assert len(rows) == 10
+    assert all(64 <= r["width"] <= 64 + 1024 for r in rows)
+    # determinism: same input -> same metadata
+    again = {r["key"]: r["content_md5"] for r in image_metadata(
+        pages, "url", "html").collect()}
+    first = {r["key"]: r["content_md5"] for r in rows}
+    assert first == again
+
+    frames = sample_frames(pages, "url", "html")
+    assert frames.groupBy("key").count().agg(F.min("count")).collect()[0][0] >= 1
+
+    emb = feature_embed(pages, "url", "html", dim=8)
+    v = emb.collect()[0]["feature"]
+    assert len(v) == 8 and all(0.0 <= x < 1.0 for x in v)
