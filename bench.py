@@ -127,8 +127,10 @@ def bench_kg(spark) -> dict:
     )
     from edgar_finance_ontology_spark.sources.pages import synthesize_pages
 
+    n_companies = int(os.environ.get("EFIN_BENCH_COMPANIES", "240"))
     t0 = time.monotonic()
-    pages = synthesize_pages(spark, skew_copies=8, n_buckets=16)
+    pages = synthesize_pages(spark, skew_copies=8, n_buckets=32,
+                             n_companies=n_companies)
     facts, companies = pages_to_inputs(pages)
     t = run_pipeline(facts, companies, fy=2024)
     trip = build_triples(
@@ -137,6 +139,7 @@ def bench_kg(spark) -> dict:
     n_triples = trip.count()
     wall = time.monotonic() - t0
     return {
+        "n_companies": n_companies,
         "n_triples": n_triples,
         "wall_sec": round(wall, 3),
         "triples_per_sec": round(n_triples / wall, 2),

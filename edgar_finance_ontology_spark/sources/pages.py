@@ -73,6 +73,7 @@ def build_page_rows(
     facts_per_page: int = 3,
     skew_copies: int = 8,
     noise_pages: int = 20,
+    n_companies: int = 12,
 ) -> list[tuple]:
     """Deterministic (url, warc_ts, html, text, lang) rows; `text` is
     left None — the extraction operator fills it."""
@@ -82,7 +83,7 @@ def build_page_rows(
         html = _page_html(title, sentences).encode("utf-8")
         rows.append((url, ts, html, None, "en"))
 
-    for entry in build_panel():
+    for entry in build_panel(n_companies):
         meta, fj, subs = entry["meta"], entry["facts"], entry["subs"]
         cik10 = meta["cik"]
         # profile page
@@ -137,12 +138,13 @@ def synthesize_pages(
     skew_copies: int = 8,
     noise_pages: int = 20,
     n_buckets: int = 16,
+    n_companies: int = 12,
 ) -> DataFrame:
     """The pages table, repartitioned by url-hash bucket (the lineage
     unit — stands in for Iceberg bucket(url) partitioning)."""
     from pyspark.sql import functions as F
 
-    rows = build_page_rows(facts_per_page, skew_copies, noise_pages)
+    rows = build_page_rows(facts_per_page, skew_copies, noise_pages, n_companies)
     df = spark.createDataFrame(rows, PAGES_SCHEMA)
     return df.withColumn(
         "bucket", F.pmod(F.hash("url"), F.lit(n_buckets)).cast("int")

@@ -116,11 +116,28 @@ def _rec(val, end: str, fp: str, form: str, accn: str, fy: int,
     return r
 
 
-def build_panel() -> list[dict]:
+def scaled_companies(n_companies: int) -> list[tuple]:
+    """Deterministically extend the 12 archetypes to n companies:
+    clone k inherits archetype k%12's sic/fye (so sectors & fiscal
+    calendars repeat -> shared industries, realistic group sizes) with
+    distinct cik/symbol/name."""
+    out = []
+    for k in range(n_companies):
+        sym, cik, name, sic, sic_desc, fye = PANEL_COMPANIES[k % 12]
+        if k < 12:
+            out.append(PANEL_COMPANIES[k])
+        else:
+            out.append((f"{sym[:3]}{k}", 100001 + k, f"{name} Clone {k}",
+                        sic, sic_desc, fye))
+    return out
+
+
+def build_panel(n_companies: int = 12) -> list[dict]:
     """Returns one entry per company:
     {meta, facts_json, submissions_json}."""
     out = []
-    for i, (sym, cik, name, sic, sic_desc, fye) in enumerate(PANEL_COMPANIES):
+    for i, (sym, cik, name, sic, sic_desc, fye) in enumerate(
+            scaled_companies(n_companies)):
         a_cur = _anchor(FY, fye) if fye != "0131" else _anchor(FY + 1, fye)
         a_prv = a_cur.replace(year=a_cur.year - 1)
         accn_cur = f"{cik:010d}-24-000001"
