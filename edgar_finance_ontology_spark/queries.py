@@ -858,6 +858,61 @@ FROM nodes n JOIN reach r ON r.a = n.id
 GROUP BY n.id ORDER BY n.id
 """
 
+
+def q_global_topk(spark, sf):
+    """O3: global ORDER BY ... LIMIT (TakeOrderedAndProject) — the
+    SPARQL 'ORDER BY DESC LIMIT 20' shape."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+
+
+SQL_GLOBAL_TOPK = """
+SELECT o_orderkey AS orderkey, round(o_totalprice, 2) AS totalprice,
+       o_orderpriority AS priority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+def q_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-duplicate pairs, cell-restricted (IVF
+    coarse cells bound the pair space — never n² across cells)."""
+    from .operators.similarity import cosine_col
+
+    e = _t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"),
+                 F.col("embedding").cast("array<double>").alias("va"),
+                 F.col("label").alias("cell"))
+    b = e.select(F.col("vec_id").alias("id_b"),
+                 F.col("embedding").cast("array<double>").alias("vb"),
+                 F.col("label").alias("cell"))
+    j = a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
+    j = j.withColumn("cos", cosine_col(F.col("va"), F.col("vb")))
+    return (
+        j.where(F.col("cos") >= 0.35)
+        .select("cell", "id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_EMB_NEAR_DUP = """
+SELECT a.label AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+ORDER BY id_a, id_b
+"""
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -886,4 +941,6 @@ QUERIES = {
     "doc_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "gazetteer_mentions": (q_gazetteer_mentions, SQL_GAZETTEER),
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_CLUSTERS),
+    "global_topk": (q_global_topk, SQL_GLOBAL_TOPK),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
 }

@@ -70,3 +70,50 @@ def windowed_event_counts(
             "event_type", "n", "total_value",
         )
     )
+
+
+def stateful_session_counts(
+    events_stream: DataFrame,
+    gap_sec: int = 1800,
+):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    session counting with explicit GroupState carried across
+    micro-batches — the Structured-Streaming twin of the batch
+    sessionizer (queries.q_sessionize).
+
+    State: (last_ts epoch-seconds, sessions, events). A new session
+    starts when the gap to the previous event exceeds gap_sec. Emits
+    one row per (user, trigger) with running totals.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        if state.exists:
+            last_ts, sessions, events = state.get
+        else:
+            last_ts, sessions, events = None, 0, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            for ts in pdf["ts"]:
+                t = int(ts.timestamp())
+                if last_ts is None or t - last_ts > gap_sec:
+                    sessions += 1
+                events += 1
+                last_ts = t
+        state.update((last_ts, sessions, events))
+        yield pd.DataFrame(
+            {"user": [user_id], "sessions": [sessions], "events": [events]}
+        )
+
+    return (
+        events_stream.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user long, sessions long, events long",
+            stateStructType="last_ts long, sessions long, events long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

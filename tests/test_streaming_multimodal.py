@@ -89,3 +89,62 @@ def test_multimodal_plumbing(spark):
     emb = feature_embed(pages, "url", "html", dim=8)
     v = emb.collect()[0]["feature"]
     assert len(v) == 8 and all(0.0 <= x < 1.0 for x in v)
+
+
+def test_stateful_session_counts_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches
+    (one file per trigger) and the final totals must equal the batch
+    sessionizer."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from edgar_finance_ontology_spark.streaming.pages_stream import (
+        stateful_session_counts,
+    )
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .where(F.col("user_id") < 10)
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    n = len(e)
+    for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+        chunk = e.iloc[lo:lo + (n + 2) // 3]
+        chunk.to_parquet(src / f"part-{i:03d}.parquet", index=False,
+                         coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = stateful_session_counts(stream)
+    q = (
+        out.writeStream.format("memory").queryName("sess")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    # last update per user = final totals
+    got = (
+        spark.sql("SELECT * FROM sess")
+        .groupBy("user").agg(F.max("sessions").alias("sessions"),
+                             F.max("events").alias("events"))
+        .toPandas().set_index("user").sort_index()
+    )
+
+    # batch oracle
+    e2 = e.sort_values(["user_id", "ts", "event_id"]).copy()
+    gaps = e2.groupby("user_id")["ts"].diff().dt.total_seconds()
+    e2["new"] = (gaps.isna() | (gaps > 1800)).astype(int)
+    batch = e2.groupby("user_id").agg(
+        sessions=("new", "sum"), events=("new", "count"))
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), batch.astype("int64"),
+        check_names=False,
+    )
