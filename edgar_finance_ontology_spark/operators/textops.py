@@ -22,13 +22,6 @@ LANG_MARKERS = {
 }
 
 
-def _count_token(tok):
-    """occurrences of token (word-bounded) in text — portable regex."""
-    return lambda text: F.size(
-        F.filter(tokens_col(text), lambda t: t == tok)
-    )
-
-
 def lang_id(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """(id, guess_lang, score): argmax over marker-token counts;

@@ -56,10 +56,13 @@ def run_pipeline(
     """All output tables. Benchmarks/rankings are computed from the
     observations exactly as the reference recomputes them from
     tags.csv."""
-    # cache the (possibly expensively derived) inputs: selection scans
-    # facts three times (standard / relaxed / direct-growth)
-    facts = facts.cache()
-    companies = companies.cache()
+    # materialize + truncate the (possibly expensively derived) inputs:
+    # selection scans facts three times (standard / relaxed / direct-
+    # growth) and every scan would re-analyze the web-parse plan.
+    # localCheckpoint is the local-mode stand-in for a reliable
+    # checkpoint (on a cluster: write the stage table, plans/lineage.py)
+    facts = facts.localCheckpoint(eager=True)
+    companies = companies.localCheckpoint(eager=True)
     obs = build_observations(
         facts, companies, fy, tol_days, prefer_unit, include_derived
     )
