@@ -4,8 +4,10 @@ The reference formats value as %.6f and confidence as %.3f at row-
 construction time (add_row, select_xbrl_tags.py:1798, 1808) and then
 every downstream consumer (benchmarks, rankings, TTL) re-parses those
 strings — so the 6-decimal rounding is part of the SEMANTICS, not just
-presentation. format_number() (HALF_EVEN, same as Python's %-format)
-reproduces it natively; a pandas UDF is not needed.
+presentation. The formatting must round the EXACT binary expansion
+(CPython semantics); Spark's format_number/round use the shortest
+decimal repr and differ in the 6th decimal for large 2dp values, so
+the formatters here are Arrow-batched Python.
 """
 
 from __future__ import annotations
@@ -15,12 +17,12 @@ from pyspark.sql import functions as F
 
 
 def fmt_fixed(c: Column, digits: int) -> Column:
-    """Python f"{v:.<digits>f}" equivalent (HALF_EVEN, no thousands
-    separators), empty string for null."""
-    return F.when(
-        c.isNotNull(),
-        F.regexp_replace(F.format_number(c.cast("double"), digits), ",", ""),
-    ).otherwise(F.lit(""))
+    """Python-exact f"{v:.<digits>f}" (empty string for null). NOT
+    format_number: that formats the double's shortest decimal repr and
+    diverges from CPython in the last place (fuzz-caught)."""
+    from ..functions.iri import py_fixed_format_col
+
+    return py_fixed_format_col(c.cast("double"), digits)
 
 
 def observations_csv_frame(obs: DataFrame) -> DataFrame:

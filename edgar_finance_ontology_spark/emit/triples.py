@@ -147,7 +147,9 @@ def observation_triples(obs: DataFrame) -> DataFrame:
         F.broadcast(unit_dim), obs["unit"] == unit_dim["_dim_key"], "left"
     ).drop("_dim_key")
 
-    v6 = F.round(F.col("value"), 6)
+    from ..functions.iri import py_round6_col
+
+    v6 = py_round6_col(F.col("value"))
     o = (
         o.where(
             (F.col("cik") != "") & (F.col("metric") != "")

@@ -69,6 +69,35 @@ def py_float_repr_col(v: pd.Series) -> pd.Series:
     return v.map(lambda x: "" if pd.isna(x) else repr(float(x)))
 
 
+def py_fixed_format_col(c: Column, digits: int) -> Column:
+    """Python-exact f"{v:.Nf}" (rounds the exact binary expansion;
+    Spark's format_number/round go through the double's SHORTEST
+    decimal repr and differ in the last place for values like
+    8727893423.39). Arrow-batched; used only on bounded presentation
+    frames."""
+    fmt = "{:." + str(digits) + "f}"
+
+    @pandas_udf(StringType())
+    def _fmt(v: pd.Series) -> pd.Series:
+        return v.map(lambda x: "" if pd.isna(x) else fmt.format(float(x)))
+
+    return _fmt(c)
+
+
+def py_round6_col(c: Column) -> Column:
+    """float(f"{v:.6f}") — the reference's CSV round-trip semantics
+    (write %.6f, re-parse float), exact-binary rounding."""
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _r6(v: pd.Series) -> pd.Series:
+        return v.map(
+            lambda x: None if pd.isna(x) else float("{:.6f}".format(float(x)))
+        )
+
+    return _r6(c)
+
+
 def parse_computed_from_col(c: Column) -> Column:
     """'Revenue(cur),Revenue(prior)' -> array('Revenue');
     'direct-growth' -> empty array. Native: split on [,;], strip

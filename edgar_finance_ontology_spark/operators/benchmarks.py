@@ -65,9 +65,12 @@ def _group_stats(values: pd.Series) -> pd.DataFrame:
 
 
 def _key_metric_values(observations: DataFrame) -> DataFrame:
-    """KEY-metric rows with CSV-rounded values and finite guard
+    """KEY-metric rows with CSV-round-tripped values (%.6f write +
+    float() parse, exact-binary rounding) and finite guard
     (select_xbrl_tags.py:640-668)."""
-    v = F.round(F.col("value"), 6)
+    from ..functions.iri import py_round6_col
+
+    v = py_round6_col(F.col("value"))
     return observations.where(
         (F.col("industry") != "") & F.col("industry").isNotNull()
         & F.col("metric").isin(*BENCHMARK_RANKING_METRICS)
