@@ -21,20 +21,39 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+_KG_CACHE: dict = {}
+
+
+def _kg_tables(spark: SparkSession) -> dict:
+    """Run the KG pipeline once per session (entry / kg_observations /
+    kg_triples share the result)."""
+    key = id(spark)
+    if key not in _KG_CACHE:
+        from edgar_finance_ontology_spark.plans.web_pipeline import (
+            pages_to_inputs,
+        )
+        from edgar_finance_ontology_spark.plans.pipeline import run_pipeline
+        from edgar_finance_ontology_spark.sources.pages import (
+            synthesize_pages,
+        )
+
+        pages = synthesize_pages(spark, n_buckets=8)
+        facts, companies = pages_to_inputs(pages)
+        t = run_pipeline(facts, companies, fy=2024)
+        t["companies"] = companies
+        _KG_CACHE.clear()
+        _KG_CACHE[key] = t
+    return _KG_CACHE[key]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: end-to-end web-page KG construction -> triples DF."""
     from edgar_finance_ontology_spark.emit.triples import build_triples
-    from edgar_finance_ontology_spark.plans.pipeline import run_pipeline
-    from edgar_finance_ontology_spark.plans.web_pipeline import (
-        pages_to_inputs,
-    )
-    from edgar_finance_ontology_spark.sources.pages import synthesize_pages
 
-    pages = synthesize_pages(spark, n_buckets=8)
-    facts, companies = pages_to_inputs(pages)
-    t = run_pipeline(facts, companies, fy=2024)
+    t = _kg_tables(spark)
     return build_triples(
-        t["observations"], companies, t["benchmarks"], t["rankings"], fy=2024
+        t["observations"], t["companies"], t["benchmarks"], t["rankings"],
+        fy=2024,
     )
 
 
@@ -45,14 +64,8 @@ def _kg_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from edgar_finance_ontology_spark.emit.csv_format import (
         observations_csv_frame,
     )
-    from edgar_finance_ontology_spark.plans.web_pipeline import (
-        run_web_pipeline,
-    )
-    from edgar_finance_ontology_spark.sources.pages import synthesize_pages
 
-    pages = synthesize_pages(spark, n_buckets=8)
-    t = run_web_pipeline(pages, fy=2024)
-    return observations_csv_frame(t["observations"])
+    return observations_csv_frame(_kg_tables(spark)["observations"])
 
 
 def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:

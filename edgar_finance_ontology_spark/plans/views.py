@@ -190,6 +190,25 @@ def cq_benchmark_compare(spark: SparkSession) -> DataFrame:
     """)
 
 
+def cq_piotroski_style_score(spark: SparkSession) -> DataFrame:
+    """BIND/IF arithmetic (investment_analysis_queries.md:128-185):
+    a Piotroski-style sum of boolean indicators per company."""
+    return spark.sql("""
+        SELECT cik, symbol,
+               (CASE WHEN ROE > 0 THEN 1 ELSE 0 END
+              + CASE WHEN CFO > 0 THEN 1 ELSE 0 END
+              + CASE WHEN NetIncome > 0 THEN 1 ELSE 0 END
+              + CASE WHEN RevenueGrowthYoY > 0 THEN 1 ELSE 0 END
+              + CASE WHEN CurrentRatio > 1 THEN 1 ELSE 0 END
+              + CASE WHEN DebtToEquity < 1 THEN 1 ELSE 0 END
+              + CASE WHEN GrossMargin > 0.2 THEN 1 ELSE 0 END
+              + CASE WHEN AssetTurnover > 0.3 THEN 1 ELSE 0 END)
+                 AS piotroski_score
+        FROM efin_observations_wide
+        ORDER BY piotroski_score DESC, cik
+    """)
+
+
 COMPETENCY_QUERIES = {
     "cq_star_profile": cq_star_profile,
     "cq_lineage_exists": cq_lineage_exists,
@@ -198,4 +217,5 @@ COMPETENCY_QUERIES = {
     "cq_leader_intersection": cq_leader_intersection,
     "cq_subclass_closure": cq_subclass_closure,
     "cq_benchmark_compare": cq_benchmark_compare,
+    "cq_piotroski_style_score": cq_piotroski_style_score,
 }

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Deployable KG pipeline entrypoint for `spark-submit --py-files`.
+
+    spark-submit --py-files efin_spark.zip scripts/run_kg.py \
+        --fy 2024 --out /tmp/kg_out [--pages-dir <parquet dir>] \
+        [--n-companies 240]
+
+Reads a pages parquet table (or synthesizes the deterministic panel),
+runs extraction -> fact parsing -> selection -> derivation ->
+aggregation -> triples, and writes the triples table + canonical
+Turtle + lineage-style run metadata under --out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fy", type=int, default=2024)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--pages-dir", default=None)
+    ap.add_argument("--n-companies", type=int, default=12)
+    ap.add_argument("--include-industry-scope", action="store_true")
+    ap.add_argument("--include-sector-scope", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("efin-kg").getOrCreate()
+
+    from edgar_finance_ontology_spark.emit.triples import build_triples
+    from edgar_finance_ontology_spark.plans.pipeline import (
+        golden_turtle, run_pipeline,
+    )
+    from edgar_finance_ontology_spark.plans.web_pipeline import (
+        pages_to_inputs,
+    )
+    from edgar_finance_ontology_spark.sources.pages import synthesize_pages
+
+    t0 = time.monotonic()
+    if args.pages_dir:
+        pages = spark.read.parquet(args.pages_dir)
+    else:
+        pages = synthesize_pages(spark, n_companies=args.n_companies)
+    facts, companies = pages_to_inputs(pages)
+    t = run_pipeline(facts, companies, fy=args.fy)
+    trip = build_triples(
+        t["observations"], companies, t["benchmarks"], t["rankings"],
+        fy=args.fy,
+        include_industry_scope=args.include_industry_scope,
+        include_sector_scope=args.include_sector_scope,
+    )
+    trip.write.mode("overwrite").parquet(f"{args.out}/triples")
+    n = spark.read.parquet(f"{args.out}/triples").count()
+
+    ttl = golden_turtle(
+        facts, companies, fy=args.fy,
+        include_industry_scope=args.include_industry_scope,
+        include_sector_scope=args.include_sector_scope,
+    )
+    with open(f"{args.out}/instances.ttl", "w", encoding="utf-8") as f:
+        f.write(ttl)
+
+    meta = {"fy": args.fy, "n_triples": n,
+            "wall_sec": round(time.monotonic() - t0, 3)}
+    with open(f"{args.out}/run_meta.json", "w") as f:
+        json.dump(meta, f)
+    print(json.dumps(meta))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

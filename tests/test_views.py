@@ -48,6 +48,12 @@ def test_competency_queries_run_and_agree(spark, registered):
     sizes = cmp_.groupby("metric").size()
     assert (sizes <= 12).all() and (sizes > 0).all()
 
+    pio = out["cq_piotroski_style_score"].toPandas()
+    assert len(pio) == 12
+    assert pio["piotroski_score"].between(0, 8).all()
+    # the synthetic panel is profitable across the board
+    assert (pio["piotroski_score"] >= 5).all()
+
 
 def test_peer_rank_equals_theta_join(spark, registered):
     """The O(n log n) window rewrite must equal the SPARQL-shaped
