@@ -276,7 +276,8 @@ def build_panel(n_companies: int = 12) -> list[dict]:
     return out
 
 
-def write_reference_inputs(outdir: str | pathlib.Path) -> dict:
+def write_reference_inputs(outdir: str | pathlib.Path,
+                           n_companies: int = 12) -> dict:
     """Write facts JSONs + submissions cache files in the layout the
     reference script expects (--facts list + --subs-cache-dir).
     Returns {'facts_paths': [...sorted by cik...], 'subs_cache_dir': str}.
@@ -290,7 +291,7 @@ def write_reference_inputs(outdir: str | pathlib.Path) -> dict:
     subs_dir.mkdir(parents=True, exist_ok=True)
     today = datetime.now().strftime("%Y%m%d")
     facts_paths = []
-    for entry in build_panel():
+    for entry in build_panel(n_companies):
         cik10 = f"{entry['facts']['cik']:010d}"
         fp = facts_dir / f"CIK{cik10}.json"
         fp.write_text(json.dumps(entry["facts"], ensure_ascii=False, indent=1))
