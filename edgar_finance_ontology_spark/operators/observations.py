@@ -375,6 +375,33 @@ OBS_STRUCT_FIELDS = (
 )
 
 
+def metric_gates(
+    metrics: tuple[str, ...] = ("all",),
+    include_derived_flag: bool = False,
+    skip_derived: bool = False,
+) -> dict:
+    """The reference CLI's --metrics/--include-derived/--skip-derived
+    gating (main(), select_xbrl_tags.py:2895-2897, 2916-2984)."""
+    from ..vocab.metrics import BASE_METRICS, DERIVED_METRICS
+
+    ms = set(metrics)
+    include_derived = (include_derived_flag and not skip_derived) or (
+        not skip_derived and ("all" in ms or "derived" in ms)
+    )
+    base_wanted = ("all" in ms or "base" in ms
+                   or any(m in BASE_METRICS for m in ms))
+    derived_wanted = include_derived or any(m in DERIVED_METRICS for m in ms)
+
+    def base_on(m):
+        return base_wanted and ("all" in ms or "base" in ms or m in ms)
+
+    def derived_on(m):
+        return derived_wanted and ("all" in ms or "derived" in ms or m in ms)
+
+    return {"base_on": base_on, "derived_on": derived_on,
+            "base_wanted": base_wanted, "derived_wanted": derived_wanted}
+
+
 def build_observations(
     facts: DataFrame,
     companies: DataFrame,
@@ -382,9 +409,17 @@ def build_observations(
     tol_days: int = 90,
     prefer_unit: str = "USD",
     include_derived: bool = True,
+    metrics: tuple[str, ...] = ("all",),
+    skip_derived: bool = False,
 ) -> DataFrame:
     """Full observations table (OBSERVATIONS_SCHEMA shape), ordered by
-    (cik, reference emission order)."""
+    (cik, reference emission order). `metrics`/`skip_derived` mirror
+    the reference CLI's gating."""
+    gates = metric_gates(
+        metrics,
+        include_derived_flag=include_derived,
+        skip_derived=skip_derived or not include_derived,
+    )
     wide = build_wide(facts, companies, fy, tol_days, prefer_unit)
 
     # ShortTermDebt = DebtCurrent else ShortTermDebt (:1968-1971)
@@ -438,6 +473,8 @@ def build_observations(
 
     # --- base metrics ---
     for m in DURATION_BASE_METRICS + INSTANT_BASE_METRICS:
+        if not gates["base_on"](m):
+            continue
         period = "duration" if m in DURATION_BASE_METRICS else "instant"
         src = "stx" if m == "ShortTermDebt" else f"b_{m}"
         c = F.col(src)
@@ -463,9 +500,11 @@ def build_observations(
                 F.lit("derived:COGS"), F.lit(""), F.lit(0.60),
                 F.lit("Derived as Revenue - GrossProfit"), False)
 
-    if include_derived:
+    if gates["derived_wanted"]:
         # --- growth 4 ---
         for gm in GROWTH_SPEC:
+            if not gates["derived_on"](gm):
+                continue
             g = _growth_struct(gm)
             period = "duration" if gm != "AssetGrowthRate" else "instant"
             obs(gm, g.isNotNull(), g["value"], g["unit"], period, g["end"],
@@ -473,6 +512,8 @@ def build_observations(
                 g["computed_from"], g["confidence"], g["reason"], True)
         # --- other derived ---
         for r in _other_derived_rows():
+            if not gates["derived_on"](r["metric"]):
+                continue
             obs(r["metric"], r["cond"], r["value"], r["unit"],
                 r["period_type"], r["end"], r["form"], r["accn"],
                 F.lit("derived"), F.lit(""), F.lit(r["computed_from"]),

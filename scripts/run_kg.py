@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--n-companies", type=int, default=12)
     ap.add_argument("--include-industry-scope", action="store_true")
     ap.add_argument("--include-sector-scope", action="store_true")
+    ap.add_argument("--fy-tol-days", type=int, default=90)
+    ap.add_argument("--prefer-unit", default="USD")
+    ap.add_argument("--metrics", nargs="+", default=["all"])
+    ap.add_argument("--skip-derived", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -47,7 +51,10 @@ def main():
     else:
         pages = synthesize_pages(spark, n_companies=args.n_companies)
     facts, companies = pages_to_inputs(pages)
-    t = run_pipeline(facts, companies, fy=args.fy)
+    t = run_pipeline(
+        facts, companies, fy=args.fy, tol_days=args.fy_tol_days,
+        prefer_unit=args.prefer_unit,
+    )
     trip = build_triples(
         t["observations"], companies, t["benchmarks"], t["rankings"],
         fy=args.fy,

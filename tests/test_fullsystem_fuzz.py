@@ -175,6 +175,39 @@ def test_fullsystem_fuzz_panel(spark, tmp_path, seed, fy):
     )
     pd.testing.assert_frame_equal(ours, ref)
 
+    # aggregate CSVs on the same randomized panel
+    from edgar_finance_ontology_spark.emit.csv_format import (
+        benchmarks_csv_frame, rankings_csv_frame,
+    )
+    from edgar_finance_ontology_spark.operators.benchmarks import (
+        compute_benchmarks,
+    )
+    from edgar_finance_ontology_spark.operators.rankings import (
+        compute_rankings,
+    )
+    from edgar_finance_ontology_spark.operators.wide import (
+        build_wide_csv_frame,
+    )
+    from edgar_finance_ontology_spark.plans.pipeline import run_pipeline
+
+    t = run_pipeline(facts, companies, fy=fy)
+    obs_df = t["observations"]
+
+    def _cmp_csv(ours_df, path, key):
+        o = ours_df.toPandas().astype(str).sort_values(key).reset_index(drop=True)
+        rf = (pd.read_csv(path, dtype=str).fillna("")
+              .astype(str).sort_values(key).reset_index(drop=True))
+        pd.testing.assert_frame_equal(o[rf.columns.tolist()], rf)
+
+    _cmp_csv(rankings_csv_frame(compute_rankings(obs_df, fy)),
+             tmp_path / "r.csv",
+             ["cik", "industry", "metric", "ranking_type"])
+    b_ours = benchmarks_csv_frame(compute_benchmarks(obs_df, fy))
+    _cmp_csv(b_ours.where("industry = ''"), tmp_path / "b.csv",
+             ["industry", "metric"])
+    _cmp_csv(build_wide_csv_frame(obs_df, compute_rankings(obs_df, fy)),
+             tmp_path / "w.csv", ["cik"])
+
     ours_ttl = golden_turtle(facts, companies, fy=fy)
     ref_ttl = (tmp_path / "i.ttl").read_text()
     if ours_ttl != ref_ttl:
