@@ -388,8 +388,13 @@ def build_triples(
     include_industry_scope: bool = False,
     include_sector_scope: bool = False,
 ) -> DataFrame:
-    """Union of every triple family, deduplicated on the full triple
-    (the reference's seen-sets collapse repeated instance blocks)."""
+    """Union of every triple family. The reference's seen-sets only
+    dedup the INSTANCE blocks (sectors/industries/units/currencies/
+    concepts) — our dim families are built with distinct() already, and
+    the big families (company/observation/ranking) are unique by
+    construction (one block per key), so no global shuffle-dedup is
+    needed; only the bounded dim families get a safety dropDuplicates
+    (SectorAll could collide with a literal 'All' sector)."""
     parts = [company_triples(companies)]
     needs_all = False
     if benchmarks is not None:
@@ -400,9 +405,11 @@ def build_triples(
         needs_all = needs_all or rankings.where(
             (F.col("industry") == "") & (F.col("sector") == "")
         ).limit(1).count() > 0
-    parts.append(entity_dim_triples(companies, needs_all))
+    dims = entity_dim_triples(companies, needs_all).unionByName(
+        instance_dim_triples(observations)
+    ).dropDuplicates(["subj", "pred", "obj"])
+    parts.append(dims)
     parts.append(observation_triples(observations))
-    parts.append(instance_dim_triples(observations))
     if benchmarks is not None:
         parts.append(benchmark_triples(benchmarks, include_industry_scope))
     if rankings is not None:
@@ -412,4 +419,4 @@ def build_triples(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.dropDuplicates(["subj", "pred", "obj"])
+    return out
