@@ -58,9 +58,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _kg_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KG pipeline observations (input synthesized deterministically;
-    rows-only driver check — the true oracle is the reference script,
-    exercised in tests/test_parity_*.py)."""
+    """KG pipeline observations (input synthesized deterministically).
+    Oracle: the REFERENCE script's tags csv for the same panel,
+    materialized as golden parquet by scripts/make_golden.py."""
     from edgar_finance_ontology_spark.emit.csv_format import (
         observations_csv_frame,
     )
@@ -69,7 +69,24 @@ def _kg_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return entry(spark)
+    """The flagship triple stream rendered to its Turtle lexical form
+    (subj, pred, obj) — comparable to the reference instances.ttl parse
+    (golden parquet, scripts/make_golden.py)."""
+    return entry(spark).selectExpr(
+        "subj", "pred",
+        """CASE WHEN NOT obj_is_literal THEN obj
+                WHEN obj_dtype IN ('xsd:integer', 'xsd:boolean') THEN obj
+                WHEN obj_dtype IS NULL THEN concat('"', obj, '"')
+                ELSE concat('"', obj, '"^^', obj_dtype) END AS obj""",
+    ).dropDuplicates(["subj", "pred", "obj"])
+
+
+def _golden_sql(name: str) -> str:
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "golden", f"{name}.parquet",
+    )
+    return f"SELECT * FROM read_parquet('{path}')"
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -84,4 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from edgar_finance_ontology_spark.queries import QUERIES
 
-    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql}
+    out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql}
+    out["kg_observations"] = _golden_sql("kg_observations")
+    out["kg_triples"] = _golden_sql("kg_triples")
+    return out
