@@ -99,9 +99,6 @@ def page_stage(pages):
     gazetteer mentions (counted to force full execution)."""
     from pyspark.sql import functions as F
 
-    from edgar_finance_ontology_spark.operators.extraction import (
-        with_extracted_text,
-    )
     from edgar_finance_ontology_spark.operators.mentions import (
         concept_lexicon_terms, detect_mentions,
     )
@@ -109,9 +106,14 @@ def page_stage(pages):
         parse_fact_records,
     )
 
-    # extract once; both consumers run over the same extracted pass
-    # (localCheckpoint materializes the extraction exactly once)
-    p = with_extracted_text(pages).localCheckpoint(eager=False)
+    # extract once, slimmed to (url, bucket, text) — the html binary
+    # must not ride through the checkpoint (it doubles the byte volume
+    # and saturates single-socket DRAM bandwidth well before the cores)
+    from edgar_finance_ontology_spark.plans.web_pipeline import (
+        extracted_text_stage,
+    )
+
+    p = extracted_text_stage(pages)
     facts = parse_fact_records(p)
     mentions = detect_mentions(p, concept_lexicon_terms())
     return facts.select(F.lit(1).alias("one")).unionAll(

@@ -88,8 +88,22 @@ def lsh_bands(sigs: DataFrame, bands: int = 4) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(bands_df: DataFrame) -> DataFrame:
-    """distinct (id_a < id_b) sharing any band bucket."""
+def lsh_candidate_pairs(bands_df: DataFrame,
+                        max_bucket: int | None = None) -> DataFrame:
+    """distinct (id_a < id_b) sharing any band bucket.
+
+    `max_bucket` caps the bucket size admitted to the pair join: a hot
+    bucket (boilerplate docs hashing identically in one band) otherwise
+    degenerates to |bucket|² candidate rows — at 10^12 docs a single
+    template-page bucket would emit more pairs than the rest of the
+    corpus combined. Oversize buckets are dropped (non-discriminative
+    bands); their members still pair through their other bands."""
+    if max_bucket is not None:
+        sizes = bands_df.groupBy("band", "bucket").agg(
+            F.count("*").alias("_n")
+        ).where(F.col("_n") <= max_bucket)
+        bands_df = bands_df.join(sizes.select("band", "bucket"),
+                                 ["band", "bucket"], "left_semi")
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     return (
@@ -125,13 +139,27 @@ def jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float,
                         text_col: str = "text", id_col: str = "doc_id",
-                        shingle_n: int = 3) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard >= threshold via inverted shingle
-    join (the scalable exact path: pair work bounded by posting-list
-    sizes, not n²)."""
+                        shingle_n: int = 3,
+                        max_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold via inverted shingle join
+    (pair work bounded by posting-list sizes, not n²).
+
+    `max_df` caps the shingle document frequency admitted to CANDIDATE
+    generation (df-cut / stop-shingle filtering): a shingle shared by
+    k docs yields k² candidate rows, so one boilerplate phrase across
+    10^6 pages would alone emit 10^12 pairs. Jaccard itself is still
+    computed over the FULL shingle sets, so surviving pairs carry exact
+    values; only pairs whose every shared shingle is ultra-common can
+    be missed (those have near-zero Jaccard against any cap ≥ 1/θ
+    posting sizes in practice)."""
     sh = word_shingles(df, text_col, shingle_n, id_col)
+    cand_sh = sh
+    if max_df is not None:
+        rare = sh.groupBy("shingle").agg(F.count("*").alias("_df")) \
+                 .where(F.col("_df") <= max_df)
+        cand_sh = sh.join(rare.select("shingle"), "shingle", "left_semi")
     pairs = (
-        sh.alias("a").join(sh.alias("b"), "shingle")
+        cand_sh.alias("a").join(cand_sh.alias("b"), "shingle")
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -142,35 +170,95 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float,
     )
 
 
-def simhash16(df: DataFrame, text_col: str = "text",
+_HEX = "0123456789abcdef"
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
-    """16-bit simhash as a bit-string: bit j = majority over tokens of
-    the high bit of md5(token)'s j-th hex nibble (nibble >= '8').
-    Portable: pure substring/threshold logic."""
+    """(id, simhash) — 64-bit simhash as a 16-hex-char string.
+
+    bit (j,k) = sign of Σ over tokens of ±1 by bit k of md5(token)'s
+    j-th hex digit. Computed in ONE groupBy(id) with 64 conditional
+    sums — no positional explode (the 16-bit round-1 version blew rows
+    up 16× and added two shuffles) and a width that still discriminates
+    at 10^12 docs (16 bits = 65k buckets would make everything collide).
+    Portable md5 arithmetic: the DuckDB oracle replays it exactly."""
     toks = (
         df.select(F.col(id_col).alias("id"),
                   F.explode(tokens_col(F.col(text_col))).alias("tok"))
         .where(F.col("tok") != "")
         .withColumn("h", F.md5("tok"))
     )
-    pos = toks.select(
-        "id", F.explode(F.sequence(F.lit(1), F.lit(16))).alias("j"), "h"
-    ).withColumn(
-        "bit", F.when(F.col("h").substr(F.col("j"), F.lit(1)) >= "8", 1).otherwise(-1)
-    )
-    agg = pos.groupBy("id", "j").agg(F.sum("bit").alias("s"))
-    return (
-        agg.withColumn("b", F.when(F.col("s") > 0, "1").otherwise("0"))
-        .groupBy("id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("j", "b"))
-                    ),
-                    lambda x: x["b"],
-                ),
-            ).alias("simhash")
+    aggs = []
+    for j in range(1, 17):
+        d = f"(instr('{_HEX}', substr(h, {j}, 1)) - 1)"
+        for k in range(4):
+            aggs.append(
+                F.sum(F.expr(f"2 * (shiftright({d}, {k}) & 1) - 1"))
+                .alias(f"s_{j}_{k}")
+            )
+    sums = toks.groupBy("id").agg(*aggs)
+    chars = [
+        F.expr(
+            f"substr('{_HEX}', cast(s_{j}_3 > 0 as int) * 8"
+            f" + cast(s_{j}_2 > 0 as int) * 4"
+            f" + cast(s_{j}_1 > 0 as int) * 2"
+            f" + cast(s_{j}_0 > 0 as int) + 1, 1)"
         )
+        for j in range(1, 17)
+    ]
+    return sums.select("id", F.concat(*chars).alias("simhash"))
+
+
+def simhash_bands(sigs: DataFrame, bands: int = 4) -> DataFrame:
+    """(id, band, bucket): bucket = the band's hex-char slice of the
+    fingerprint. Near-dups (hamming ≤ 64/bands − 1 per pigeonhole)
+    share at least one exact band bucket."""
+    width = 16 // bands
+    arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("simhash", 1 + b * width, width).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    return sigs.select("id", "simhash", F.explode(arr).alias("bb")).select(
+        "id", "simhash", F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def simhash_near_dup_pairs(
+    sigs: DataFrame, bands: int = 4, max_hamming: int = 8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) for pairs sharing any simhash band bucket
+    with hamming distance ≤ max_hamming. Candidate generation is
+    bucket-bounded (never all-pairs); `max_bucket` drops degenerate hot
+    buckets the same way lsh_candidate_pairs does."""
+    b = simhash_bands(sigs, bands)
+    if max_bucket is not None:
+        ok = b.groupBy("band", "bucket").agg(F.count("*").alias("_n")) \
+              .where(F.col("_n") <= max_bucket)
+        b = b.join(ok.select("band", "bucket"), ["band", "bucket"],
+                   "left_semi")
+    pairs = (
+        b.alias("a").join(b.alias("b"), ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"), F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    da = f"(instr('{_HEX}', substr(sig_a, j, 1)) - 1)"
+    db = f"(instr('{_HEX}', substr(sig_b, j, 1)) - 1)"
+    ham = F.expr(
+        "aggregate(sequence(1, 16), 0, "
+        f"(acc, j) -> acc + bit_count({da} ^ {db}))"
+    )
+    return (
+        pairs.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

@@ -125,9 +125,26 @@ def parse_company_profiles(pages_with_text: DataFrame) -> DataFrame:
     )
 
 
+def extracted_text_stage(pages: DataFrame) -> DataFrame:
+    """Extraction, materialized ONCE and slimmed to what the parsers
+    need (url, bucket?, text). Dropping the html binary before the
+    checkpoint halves the string byte volume every downstream consumer
+    pays — at 10^12 pages the raw html is the dominant byte stream and
+    must never be carried past this stage. localCheckpoint is the
+    local-mode stand-in for writing the stage table (plans/lineage.py)."""
+    carry = ["url"] + (["bucket"] if "bucket" in pages.columns else [])
+    return (
+        with_extracted_text(pages)
+        .select(*carry, "text")
+        .localCheckpoint(eager=False)
+    )
+
+
 def pages_to_inputs(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(facts, companies) from a raw pages table."""
-    p = with_extracted_text(pages)
+    """(facts, companies) from a raw pages table. Both parsers consume
+    the same single extraction pass (extraction is the most expensive
+    Python stage; running it once per consumer doubles the bill)."""
+    p = extracted_text_stage(pages)
     return assemble_facts(parse_fact_records(p)), parse_company_profiles(p)
 
 

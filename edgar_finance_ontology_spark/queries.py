@@ -491,7 +491,7 @@ def q_minhash_lsh(spark, sf):
 
     d = _t(spark, sf, "documents")
     sigs = minhash_signatures(d, n_hashes=8)
-    pairs = lsh_candidate_pairs(lsh_bands(sigs, bands=4))
+    pairs = lsh_candidate_pairs(lsh_bands(sigs, bands=4), max_bucket=64)
     sh = word_shingles(d)
     j = jaccard_on_pairs(pairs, sh)
     return (
@@ -516,9 +516,12 @@ bands AS (
   SELECT id, seed % 4 AS band,
          md5(list_aggregate(list_sort(list(concat(CAST(seed AS VARCHAR), ':', minhash))), 'string_agg', ',')) AS bucket
   FROM mh GROUP BY 1, 2),
+bands_ok AS (
+  SELECT * FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 64),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  FROM bands_ok a JOIN bands_ok b ON a.band = b.band AND a.bucket = b.bucket
   WHERE a.id < b.id),
 sizes AS (SELECT id, count(*) AS n FROM sh3 GROUP BY 1),
 inter AS (
@@ -540,7 +543,9 @@ def q_ngram_jaccard(spark, sf):
     from .operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
-    return ngram_jaccard_pairs(d, threshold=0.12).orderBy("id_a", "id_b")
+    return ngram_jaccard_pairs(d, threshold=0.12, max_df=64).orderBy(
+        "id_a", "id_b"
+    )
 
 
 SQL_NGRAM_JACCARD = """
@@ -550,9 +555,12 @@ sh AS (
   SELECT DISTINCT id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
   FROM toks, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)),
 sh3 AS (SELECT id, shingle FROM sh WHERE len(string_split(shingle, ' ')) = 3),
+rare AS (
+  SELECT shingle FROM sh3 GROUP BY 1 HAVING count(*) <= 64),
+cand_sh AS (SELECT sh3.* FROM sh3 JOIN rare USING (shingle)),
 pairs AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle WHERE a.id < b.id),
+  FROM cand_sh a JOIN cand_sh b ON a.shingle = b.shingle WHERE a.id < b.id),
 sizes AS (SELECT id, count(*) AS n FROM sh3 GROUP BY 1),
 inter AS (
   SELECT p.id_a, p.id_b, count(*) AS inter
@@ -569,16 +577,13 @@ FROM jac WHERE jaccard >= 0.12 ORDER BY id_a, id_b
 
 
 def q_simhash(spark, sf):
-    """16-bit simhash signature histogram (near-dup fingerprinting)."""
-    from .operators.dedup import simhash16
+    """64-bit simhash near-dup pairs: one-groupBy signatures, banded
+    candidate buckets (4 × 16 bits), hamming-verified ≤ 8."""
+    from .operators.dedup import simhash64, simhash_near_dup_pairs
 
     d = _t(spark, sf, "documents")
-    s = simhash16(d)
-    return (
-        s.groupBy("simhash").agg(F.count("*").alias("n_docs"),
-                                 F.min("id").alias("min_id"))
-        .orderBy("simhash")
-    )
+    pairs = simhash_near_dup_pairs(simhash64(d), bands=4, max_hamming=8)
+    return pairs.orderBy("id_a", "id_b")
 
 
 SQL_SIMHASH = """
@@ -587,13 +592,36 @@ WITH toks AS (
   FROM documents),
 h AS (SELECT id, md5(tok) AS h FROM toks WHERE tok <> ''),
 bits AS (
-  SELECT id, j, sum(CASE WHEN substr(h, j, 1) >= '8' THEN 1 ELSE -1 END) AS s
-  FROM h, UNNEST(range(1, 17)) AS u(j) GROUP BY 1, 2),
+  SELECT id, j, k,
+         sum(2 * ((strpos('0123456789abcdef', substr(h, j, 1)) - 1) >> k & 1) - 1) AS s
+  FROM h, UNNEST(range(1, 17)) AS u(j), UNNEST(range(0, 4)) AS v(k)
+  GROUP BY 1, 2, 3),
+nib AS (
+  SELECT id, j,
+         sum(CASE WHEN s > 0 THEN 1 << k ELSE 0 END) AS nibble
+  FROM bits GROUP BY 1, 2),
 sig AS (
-  SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
-  FROM bits GROUP BY 1)
-SELECT simhash, count(*) AS n_docs, min(id) AS min_id
-FROM sig GROUP BY 1 ORDER BY 1
+  SELECT id,
+         string_agg(substr('0123456789abcdef', CAST(nibble AS INT) + 1, 1),
+                    '' ORDER BY j) AS simhash
+  FROM nib GROUP BY 1),
+bands AS (
+  SELECT id, simhash, b AS band, substr(simhash, 1 + b * 4, 4) AS bucket
+  FROM sig, UNNEST(range(0, 4)) AS w(b)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id < b.id),
+ham AS (
+  SELECT id_a, id_b,
+         CAST(list_sum(list_transform(range(1, 17), j ->
+           bit_count(xor(strpos('0123456789abcdef', substr(sig_a, j, 1)) - 1,
+                         strpos('0123456789abcdef', substr(sig_b, j, 1)) - 1)))) AS INT)
+           AS hamming
+  FROM cand)
+SELECT id_a, id_b, hamming FROM ham
+WHERE hamming <= 8 ORDER BY id_a, id_b
 """
 
 
@@ -819,7 +847,7 @@ def q_doc_dup_clusters(spark, sf):
     from .operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.12)
+    pairs = ngram_jaccard_pairs(d, threshold=0.12, max_df=64)
     return duplicate_clusters(pairs).orderBy("id")
 
 
@@ -830,9 +858,12 @@ sh AS (
   SELECT DISTINCT id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
   FROM toks, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)),
 sh3 AS (SELECT id, shingle FROM sh WHERE len(string_split(shingle, ' ')) = 3),
+rare AS (
+  SELECT shingle FROM sh3 GROUP BY 1 HAVING count(*) <= 64),
+cand_sh AS (SELECT sh3.* FROM sh3 JOIN rare USING (shingle)),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle WHERE a.id < b.id),
+  FROM cand_sh a JOIN cand_sh b ON a.shingle = b.shingle WHERE a.id < b.id),
 sizes AS (SELECT id, count(*) AS n FROM sh3 GROUP BY 1),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS inter

@@ -1,0 +1,122 @@
+"""Scale-safety of the dedup candidate generators: hot buckets and
+stop-shingles must not degenerate quadratic (the 100-TB liability the
+round-1 review flagged), and the capped paths must stay correct."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def boiler_docs(spark):
+    """200 identical boilerplate docs + 3 near-dup pairs + 10 distinct."""
+    rows = []
+    boiler = "terms of use privacy policy all rights reserved contact us"
+    for i in range(200):
+        rows.append((f"b{i:03d}", boiler))
+    for i in range(3):
+        rows.append((f"p{i}a", f"unique tale {i} about a quick brown fox jumping high"))
+        rows.append((f"p{i}b", f"unique tale {i} about a quick brown fox jumping higher"))
+    for i in range(10):
+        rows.append((f"u{i}", f"totally distinct content {i} with words nr{i} alpha{i} beta{i} gamma{i} delta{i}"))
+    return spark.createDataFrame(rows, "doc_id string, text string").cache()
+
+
+def test_lsh_bucket_cap_bounds_candidates(boiler_docs):
+    from edgar_finance_ontology_spark.operators.dedup import (
+        lsh_bands, lsh_candidate_pairs, minhash_signatures,
+    )
+
+    sigs = minhash_signatures(boiler_docs, n_hashes=8)
+    bands = lsh_bands(sigs, bands=4)
+    uncapped = lsh_candidate_pairs(bands).count()
+    capped = lsh_candidate_pairs(bands, max_bucket=50)
+    n_capped = capped.count()
+    # uncapped: the 200-doc boilerplate bucket alone yields 19900 pairs
+    assert uncapped >= 200 * 199 // 2
+    # capped: hot bucket dropped; only the small-bucket pairs remain
+    assert n_capped <= 50 * 49 // 2
+    # the genuine near-dup pairs survive (their buckets are tiny)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    for i in range(3):
+        assert (f"p{i}a", f"p{i}b") in got
+
+
+def test_ngram_df_cap_bounds_candidates_and_keeps_exactness(boiler_docs):
+    from edgar_finance_ontology_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    capped = ngram_jaccard_pairs(boiler_docs, threshold=0.3, max_df=50)
+    rows = capped.collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    # boilerplate (df=200 shingles) generates no candidates at all
+    assert not any(a.startswith("b") for a, _ in got)
+    # near-dup pairs survive with EXACT jaccard (full shingle sets)
+    for i in range(3):
+        assert (f"p{i}a", f"p{i}b") in got
+    # exactness: on a corpus without hot shingles the capped and
+    # uncapped results are identical
+    small = boiler_docs.where(~F.col("doc_id").startswith("b"))
+    a = sorted(map(tuple, ngram_jaccard_pairs(small, 0.3).collect()))
+    b = sorted(map(tuple, ngram_jaccard_pairs(small, 0.3, max_df=50).collect()))
+    assert a == b
+
+
+def _py_simhash64(text: str) -> str:
+    """Pure-Python oracle for simhash64 (same md5 arithmetic)."""
+    toks = [t for t in text.strip().lower().split() if t]
+    sums = [[0] * 4 for _ in range(16)]
+    for t in toks:
+        h = hashlib.md5(t.encode()).hexdigest()
+        for j in range(16):
+            d = int(h[j], 16)
+            for k in range(4):
+                sums[j][k] += 1 if (d >> k) & 1 else -1
+    out = []
+    for j in range(16):
+        nib = sum(1 << k for k in range(4) if sums[j][k] > 0)
+        out.append("0123456789abcdef"[nib])
+    return "".join(out)
+
+
+def test_simhash64_matches_python_oracle(spark):
+    from edgar_finance_ontology_spark.operators.dedup import simhash64
+
+    docs = [
+        ("d1", "the quick brown fox jumps over the lazy dog"),
+        ("d2", "the quick brown fox jumps over the lazy dog"),
+        ("d3", "an entirely different document about spark shuffles"),
+        ("d4", "the quick brown fox jumps over the lazy cat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["id"]: r["simhash"] for r in simhash64(df).collect()}
+    for doc_id, text in docs:
+        assert got[doc_id] == _py_simhash64(text), doc_id
+    assert got["d1"] == got["d2"]
+
+
+def test_simhash64_single_shuffle_plan(spark):
+    """The signature computation must be ONE aggregation over the token
+    stream — no positional explode, no second shuffle."""
+    from edgar_finance_ontology_spark.operators.dedup import simhash64
+
+    df = spark.createDataFrame([("d", "a b c")], "doc_id string, text string")
+    plan = simhash64(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_simhash_near_dup_pairs_finds_near_and_skips_far(spark):
+    from edgar_finance_ontology_spark.operators.dedup import (
+        simhash64, simhash_near_dup_pairs,
+    )
+
+    rows = [("a1", "alpha beta gamma delta epsilon zeta eta theta"),
+            ("a2", "alpha beta gamma delta epsilon zeta eta theta"),
+            ("zz", "completely unrelated corpus of financial filings text")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = simhash_near_dup_pairs(simhash64(df), bands=4, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get(("a1", "a2")) == 0
+    assert not any("zz" in p for p in got)
