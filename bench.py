@@ -39,25 +39,42 @@ SCALE_PAIR = (
 def scale_pairs():
     return sorted({SCALE_PAIR[0], SCALE_PAIR[1], SCALE_LOW, CPUS})
 
-# queries cheap enough for per-round benching at sf0.1
+# ALL oracled queries are timed at sf0.1 — no silent exclusions (the
+# formerly-skipped heavy family is bounded now: df-capped ngram pairs,
+# bucket-capped LSH, banded 64-bit simhash).
 BENCH_QUERIES = [
     "pricing_summary", "star_join_revenue", "top10_per_group",
     "yoy_growth", "asof_pick", "semi_anti", "grouping_sets_benchmarks",
     "pivot_events", "composite_rank", "sessionize", "json_props",
-    "dedup_exact", "simhash_dedup", "ann_cosine_topk", "ann_ivf_cell",
+    "dedup_exact", "minhash_lsh_dedup", "ngram_jaccard_dedup",
+    "simhash_dedup", "ann_cosine_topk", "ann_ivf_cell",
     "lang_id", "quality_scores", "token_counts", "doc_fingerprints",
-    "gazetteer_mentions",
+    "gazetteer_mentions", "doc_dup_clusters", "global_topk",
+    "embedding_near_dup",
 ]
 
 
-def _session(master_threads: int, app: str):
+def _session(master_threads: int, app: str, extra: dict | None = None):
     from edgar_finance_ontology_spark.session import build_session
 
+    conf = {"spark.driver.memory": os.environ.get("EFIN_DRIVER_MEM", "24g")}
+    conf.update(extra or {})
     return build_session(
         app, master=f"local[{master_threads}]",
         shuffle_partitions=max(8, master_threads),
-        extra_conf={"spark.driver.memory": os.environ.get("EFIN_DRIVER_MEM", "24g")},
+        extra_conf=conf,
     )
+
+
+# The scale job is CPU-bound Python over highly-compressed page rows:
+# the default 128MB/4MB split sizing packs the whole input into ~8 scan
+# partitions, capping the mapInPandas parallelism at 8 regardless of
+# cores. Split small so every thread level has tasks to chew —
+# the local-mode analog of sizing input splits for UDF-heavy stages.
+_SCAN_SPLIT_CONF = {
+    "spark.sql.files.maxPartitionBytes": str(256 * 1024),
+    "spark.sql.files.openCostInBytes": str(16 * 1024),
+}
 
 
 def _drain(df) -> int:
@@ -169,15 +186,18 @@ def bench_scaling(copies: int = 1024) -> dict:
         finally:
             spark.stop()
         for threads in scale_pairs():
-            spark = _session(threads, f"efin-scale-{threads}")
+            spark = _session(threads, f"efin-scale-{threads}",
+                             extra=_SCAN_SPLIT_CONF)
             try:
                 pages = spark.read.parquet(pages_dir)
                 n_pages = pages.count()
                 # warmup: spin up the Python worker pool + JIT
                 _drain(page_stage(pages.limit(2048)))
-                # best-of-2: absorb turbo/cache run-to-run variance
+                # best-of-3: the gate compares two single numbers, so
+                # run-to-run variance (turbo, page cache, GC phase)
+                # must be squeezed out of BOTH sides
                 wall = float("inf")
-                for _rep in range(2):
+                for _rep in range(3):
                     t0 = time.monotonic()
                     rows = _drain(page_stage(pages))
                     wall = min(wall, time.monotonic() - t0)

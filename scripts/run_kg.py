@@ -72,6 +72,12 @@ def main():
     with open(f"{args.out}/instances.ttl", "w", encoding="utf-8") as f:
         f.write(ttl)
 
+    # the schema document the instances owl:import — shipped alongside
+    # so the emitted graph loads standalone in any RDF store
+    from edgar_finance_ontology_spark.vocab.schema_ttl import write_schema
+
+    write_schema(f"{args.out}/efin_schema.ttl")
+
     meta = {"fy": args.fy, "n_triples": n,
             "wall_sec": round(time.monotonic() - t0, 3)}
     with open(f"{args.out}/run_meta.json", "w") as f:
