@@ -18,13 +18,16 @@ Physical notes:
   * head-entity skew: the join key is salted (`salt_buckets` splits a
     hot vertex's adjacency across buckets; the min-aggregation runs
     two-phase: per-(vertex, salt) partial min, then per-vertex final);
-  * lineage is cut every `checkpoint_every` iterations via
-    localCheckpoint to stop plan growth (driver-loop iterative jobs
-    otherwise re-derive the whole chain each pass);
-  * convergence for a path of length L needs O(log L) doubling rounds
-    with large-star; this simple propagation needs O(L) — fine for
-    short identity chains (alias graphs are shallow); `max_iter`
-    asserts the fixpoint was reached.
+  * lineage is cut every `checkpoint_every` iterations (default: every
+    iteration) via localCheckpoint: the convergence check is an ACTION,
+    so without truncation each check re-derives every prior iteration —
+    quadratic total work. With eager per-iteration materialization each
+    check executes exactly one iteration's joins;
+  * convergence is O(log L) for a path of length L: each round does the
+    neighbor-min propagation AND a pointer-jumping step
+    (label(v) := label(label(v)), the large-star/small-star doubling
+    idea) so labels hop exponentially toward the component minimum —
+    without the jump, a 10^6-long alias chain would need 10^6 rounds.
 """
 
 from __future__ import annotations
@@ -38,8 +41,9 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
     salt_buckets: int = 8,
+    jump_after: int = 2,
 ) -> DataFrame:
     """-> (id, component) where component = min vertex id reachable.
 
@@ -78,22 +82,43 @@ def connected_components(
             labels.join(incoming, "id", "left")
             .select(
                 "id",
+                F.col("component").alias("_old"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("new_component"), F.col("component")),
                 ).alias("component"),
             )
         )
+        # pointer jumping (doubling): component := component's component.
+        # label(v) is reachable from v and label(label(v)) from label(v),
+        # so the jump stays within the component while halving the
+        # remaining chain depth -> O(log L) total rounds. Adaptive: the
+        # jump join only runs once plain propagation hasn't converged
+        # in `jump_after` rounds (shallow alias graphs — the common
+        # case — never pay for it; long chains get the doubling).
+        if it >= jump_after:
+            parents = nxt.select(
+                F.col("id").alias("component"),
+                F.col("component").alias("grand"),
+            )
+            nxt = (
+                nxt.join(parents, "component", "left")
+                .select(
+                    "id",
+                    "_old",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("grand"), F.col("component")),
+                    ).alias("component"),
+                )
+            )
         if (it + 1) % checkpoint_every == 0:
             nxt = nxt.localCheckpoint(eager=True)
-        changed = (
-            nxt.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = nxt
+        # labels only ever decrease, so convergence = no row shrank.
+        # The check scans the just-materialized frame — no join, no
+        # recompute (the old label rides along as _old).
+        changed = nxt.where(F.col("component") < F.col("_old")).limit(1).count()
+        labels = nxt.drop("_old")
         if changed == 0:
             break
     else:

@@ -45,16 +45,19 @@ def test_connected_components_basic_and_skewed(spark):
     assert got == exp
 
 
-def test_connected_components_long_chain_converges(spark):
+def test_connected_components_long_chain_converges_in_log_rounds(spark):
+    """Pointer jumping must give O(log L) convergence: a 64-edge chain
+    within ~log2(64)+3 rounds (plain min-propagation would need 64)."""
     from edgar_finance_ontology_spark.operators.canonicalize import (
         connected_components,
     )
 
-    edges = [(i, i + 1) for i in range(30)]
+    edges = [(i, i + 1) for i in range(64)]
     df = spark.createDataFrame(edges, "src int, dst int")
-    got = connected_components(df, max_iter=40)
+    got = connected_components(df, max_iter=9)
     assert got.select("component").distinct().count() == 1
     assert got.agg(F.min("component")).collect()[0][0] == 0
+    assert got.count() == 65
 
 
 def test_link_mentions_tfidf_prior(spark):
