@@ -12,13 +12,20 @@ select_xbrl_tags.py:675) whenever any industry has ≥2 companies, so it
 effectively never emits industry benchmarks. We implement the intended
 semantics with a deterministic sector lookup (min sector per industry).
 
-Spark shape: one GROUPING SETS aggregation. mean/median/percentiles
-are computed from the per-group sorted value list in a single Arrow-
-batched pandas UDF so they carry Python-exact float semantics
-(statistics.mean is exact-rational; index percentiles are nearest-rank)
-— required for byte-identical TTL literals. Group cardinality is
-bounded by companies-per-industry, so collect_list is safe even at
-10^12-page scale (groups are per-company aggregates, not per-page).
+Spark shape: two scopes, two physical strategies.
+
+  * industry scope: groupBy(industry, metric) + one Arrow-batched
+    pandas UDF over the per-group sorted list — group cardinality is
+    bounded by companies-per-industry, so the list is safe;
+  * all-market scope: the group holds EVERY entity, so no list may
+    ever materialize. operators/exact_stats.py computes the identical
+    Python-exact numbers via a distributed range-sort + global-rank
+    row selection + exact Fraction partial sums (one shuffle; only
+    O(partitions x metrics) rows reach the driver).
+
+Both paths reproduce statistics.mean (exact-rational) /
+statistics.median / nearest-rank percentiles bit-for-bit — required
+for byte-identical TTL literals.
 """
 
 from __future__ import annotations
@@ -85,43 +92,60 @@ def compute_benchmarks(
     include_industry_scope: bool = True,
 ) -> DataFrame:
     """BENCHMARKS_SCHEMA rows. industry='' sector='' = all-market."""
+    from .exact_stats import exact_group_stats
+
+    spark = observations.sparkSession
     rows = _key_metric_values(observations)
 
-    grouped = (
-        rows.groupingSets(
-            [["industry", "metric"], ["metric"]], "industry", "metric"
+    parts = []
+    if include_industry_scope:
+        grouped = (
+            rows.groupBy("industry", "metric")
+            .agg(
+                F.collect_list("value").alias("vals"),
+                F.count("value").alias("n"),
+            )
+            .where(F.col("n") >= 2)
         )
-        .agg(
-            F.collect_list("value").alias("vals"),
-            F.count("value").alias("n"),
+        stats = grouped.withColumn("s", _group_stats(F.col("vals")))
+        # deterministic industry -> sector (reference intent; drift note)
+        ind_sector = (
+            rows.groupBy("industry").agg(F.min("sector").alias("sector"))
         )
-        .where(F.col("n") >= 2)
-    )
-    if not include_industry_scope:
-        grouped = grouped.where(F.col("industry").isNull())
+        parts.append(
+            stats.join(F.broadcast(ind_sector), "industry", "left")
+            .select(
+                "industry",
+                F.coalesce(F.col("sector"), F.lit("")).alias("sector"),
+                "metric",
+                F.lit(fy).alias("fy"),
+                F.col("s.average_value").alias("average_value"),
+                F.col("s.median_value").alias("median_value"),
+                F.col("s.max_value").alias("max_value"),
+                F.col("s.min_value").alias("min_value"),
+                F.col("s.percentile25").alias("percentile25"),
+                F.col("s.percentile75").alias("percentile75"),
+                F.col("s.sample_size").alias("sample_size"),
+            )
+        )
 
-    stats = grouped.withColumn("s", _group_stats(F.col("vals")))
+    # all-market scope: distributed exact — NEVER a collect_list over
+    # every entity (operators/exact_stats.py)
+    allm = exact_group_stats(rows, "metric", "value", min_n=2)
+    allm_rows = [
+        ("", "", r["group"], fy, r["average"], r["median"], r["max"],
+         r["min"], r["p25"], r["p75"], int(r["n"]))
+        for r in allm.to_dict("records")
+    ]
+    schema = (
+        "industry string, sector string, metric string, fy int, "
+        "average_value double, median_value double, max_value double, "
+        "min_value double, percentile25 double, percentile75 double, "
+        "sample_size int"
+    )
+    parts.append(spark.createDataFrame(allm_rows, schema))
 
-    # deterministic industry -> sector (reference intent; drift note above)
-    ind_sector = (
-        rows.groupBy("industry").agg(F.min("sector").alias("sector"))
-    )
-    out = (
-        stats.join(F.broadcast(ind_sector), "industry", "left")
-        .select(
-            F.coalesce(F.col("industry"), F.lit("")).alias("industry"),
-            F.when(F.col("industry").isNotNull(), F.col("sector"))
-            .otherwise(F.lit(""))
-            .alias("sector"),
-            "metric",
-            F.lit(fy).alias("fy"),
-            F.col("s.average_value").alias("average_value"),
-            F.col("s.median_value").alias("median_value"),
-            F.col("s.max_value").alias("max_value"),
-            F.col("s.min_value").alias("min_value"),
-            F.col("s.percentile25").alias("percentile25"),
-            F.col("s.percentile75").alias("percentile75"),
-            F.col("s.sample_size").alias("sample_size"),
-        )
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out

@@ -1,0 +1,108 @@
+"""exact_group_stats must reproduce Python `statistics` semantics
+bit-for-bit WITHOUT materializing any group as a list — the all-market
+benchmark scale path."""
+
+import random
+import statistics
+
+import pandas as pd
+import pytest
+
+
+def _expected(vals):
+    vs = sorted(float(v) for v in vals)
+    n = len(vs)
+    return {
+        "n": n,
+        "average": statistics.mean(vs),
+        "median": statistics.median(vs),
+        "max": max(vs),
+        "min": min(vs),
+        "p25": vs[int(n * 0.25)],
+        "p75": vs[int(n * 0.75)],
+    }
+
+
+def test_exact_stats_matches_statistics_module(spark):
+    from edgar_finance_ontology_spark.operators.exact_stats import (
+        exact_group_stats,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    groups = {}
+    for g, size in (("a", 7), ("b", 8), ("c", 1), ("d", 250)):
+        vals = [round(rng.uniform(-1e9, 1e9), 6) for _ in range(size)]
+        groups[g] = vals
+        rows += [(g, v) for v in vals]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "metric string, value double")
+    got = exact_group_stats(df, "metric", "value", min_n=2)
+    got = {r["group"]: r for r in got.to_dict("records")}
+    assert "c" not in got  # min_n gate
+    for g in ("a", "b", "d"):
+        exp = _expected(groups[g])
+        for k, v in exp.items():
+            assert got[g][k] == v, (g, k, got[g][k], v)
+
+
+def test_exact_stats_wide_panel_no_list_materialization(spark):
+    """100k+ values through the all-market path: completes and matches
+    the local statistics oracle — the round-1 memory-cliff scenario."""
+    from pyspark.sql import functions as F
+
+    from edgar_finance_ontology_spark.operators.exact_stats import (
+        exact_group_stats,
+    )
+
+    n = 120_000
+    # exact integer arithmetic + one IEEE division: identical doubles
+    # in JVM and CPython (transcendentals like sin differ by 1 ulp)
+    df = spark.range(n).select(
+        F.lit("ROE").alias("metric"),
+        ((F.col("id") * 2654435761 % 1000003).cast("double") / 7.0
+         - 50000.0).alias("value"),
+    )
+    got = exact_group_stats(df, "metric", "value").to_dict("records")[0]
+    vals = sorted(float(i * 2654435761 % 1000003) / 7.0 - 50000.0
+                  for i in range(n))
+    assert got["n"] == n
+    assert got["median"] == statistics.median(vals)
+    assert got["p25"] == vals[int(n * 0.25)]
+    assert got["p75"] == vals[int(n * 0.75)]
+    assert got["max"] == vals[-1] and got["min"] == vals[0]
+    assert got["average"] == statistics.mean(vals)
+
+
+def test_compute_benchmarks_all_scope_matches_pandas_oracle(spark):
+    """End-to-end: the all-market rows of compute_benchmarks equal the
+    statistics-module replay over the same CSV-rounded values."""
+    from edgar_finance_ontology_spark.operators.benchmarks import (
+        compute_benchmarks,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        rows.append((
+            f"{i:010d}", f"T{i}", f"Co{i}", "Tech", f"Ind{i % 40}",
+            2024, "ROE", False, round(rng.uniform(-5, 5), 6),
+        ))
+    obs = spark.createDataFrame(
+        rows,
+        "cik string, symbol string, name string, sector string, "
+        "industry string, fy int, metric string, is_derived boolean, "
+        "value double",
+    )
+    b = compute_benchmarks(obs, 2024)
+    allm = {r["metric"]: r for r in b.where("industry = ''").collect()}
+    vals = [r[8] for r in rows]
+    exp = _expected(vals)
+    g = allm["ROE"]
+    assert g["sample_size"] == exp["n"]
+    assert g["average_value"] == exp["average"]
+    assert g["median_value"] == exp["median"]
+    assert g["percentile25"] == exp["p25"]
+    assert g["percentile75"] == exp["p75"]
+    assert g["max_value"] == exp["max"]
+    assert g["min_value"] == exp["min"]
