@@ -157,11 +157,30 @@ def bench_kg(spark) -> dict:
     )
     n_triples = trip.count()
     wall = time.monotonic() - t0
+    # the competency-query surface over the same tables (57 named
+    # views, plans/cq_catalog.py) — timed as one block
+    from edgar_finance_ontology_spark.plans.cq_catalog import (
+        CQ_CATALOG, register_cq_catalog,
+    )
+
+    register_cq_catalog(
+        spark, t["observations"], companies, t["benchmarks"], t["rankings"]
+    )
+    t1 = time.monotonic()
+    cq_rows = 0
+    for name in CQ_CATALOG:
+        cq_rows += spark.sql(CQ_CATALOG[name]).count()
+    cq_wall = time.monotonic() - t1
     return {
         "n_companies": n_companies,
         "n_triples": n_triples,
         "wall_sec": round(wall, 3),
         "triples_per_sec": round(n_triples / wall, 2),
+        "cq_catalog": {
+            "n_views": len(CQ_CATALOG),
+            "rows": cq_rows,
+            "wall_sec": round(cq_wall, 3),
+        },
     }
 
 

@@ -153,3 +153,32 @@ def run_web_pipeline(pages: DataFrame, fy: int, **kw) -> dict:
 
     facts, companies = pages_to_inputs(pages)
     return run_pipeline(facts, companies, fy, **kw)
+
+
+def run_web_pipeline_resumable(
+    pages: DataFrame, fy: int, run_dir: str, run_id: str = "r1", **kw
+) -> dict:
+    """The resumable shape of the front-end (north_rule): the two
+    volume-proportional stages — extraction and fact-record parsing —
+    run through per-bucket lineage checkpoints (plans/lineage.py), so a
+    killed run restarted with the same run_dir/run_id reprocesses ONLY
+    the buckets whose lineage rows are missing; completed buckets are
+    read back from the stage tables, never recomputed or duplicated.
+
+    Requires the pages table to carry the url-hash `bucket` column
+    (the Iceberg bucket(url) partition stand-in)."""
+    from .lineage import LineageLog, run_stage
+    from .pipeline import run_pipeline
+
+    spark = pages.sparkSession
+    log = LineageLog(spark, run_dir, run_id)
+    extracted = run_stage(
+        log, "extract", pages,
+        lambda df: with_extracted_text(df).select("url", "bucket", "text"),
+    )
+    records = run_stage(log, "fact_records", extracted, parse_fact_records)
+    facts = assemble_facts(records)
+    companies = parse_company_profiles(extracted)
+    out = run_pipeline(facts, companies, fy, **kw)
+    out["lineage"] = log.metrics()
+    return out

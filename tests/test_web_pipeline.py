@@ -155,3 +155,50 @@ def test_lineage_resume(spark, tmp_path, pages):
     # no duplicate done rows per (stage, bucket)
     lm = log.metrics().where("status = 'done'").groupBy("stage", "bucket").count()
     assert lm.where("count > 1").count() == 0
+
+
+def test_resumable_web_pipeline_mid_kill_resume(spark, tmp_path):
+    """Kill-after-stage-1-half resume: a first run sees only half the
+    buckets (simulating loss mid-pipeline); the restarted full run
+    reprocesses ONLY the remaining buckets and converges to the same
+    observations as the non-resumable path, with exactly one lineage
+    row per (stage, bucket)."""
+    from pyspark.sql import functions as F
+
+    from edgar_finance_ontology_spark.emit.csv_format import (
+        observations_csv_frame,
+    )
+    from edgar_finance_ontology_spark.plans.web_pipeline import (
+        run_web_pipeline, run_web_pipeline_resumable,
+    )
+    from edgar_finance_ontology_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, n_buckets=8).cache()
+    run_dir = str(tmp_path / "run")
+
+    # crash simulation: the first attempt only ever saw 4 buckets
+    run_web_pipeline_resumable(
+        pages.where(F.col("bucket") < 4), fy=2024, run_dir=run_dir
+    )["observations"].count()
+
+    # restart over the full input
+    t = run_web_pipeline_resumable(pages, fy=2024, run_dir=run_dir)
+    got = (
+        observations_csv_frame(t["observations"]).toPandas()
+        .sort_values(["cik", "metric"]).reset_index(drop=True)
+    )
+    want = (
+        observations_csv_frame(
+            run_web_pipeline(pages, fy=2024)["observations"]
+        ).toPandas().sort_values(["cik", "metric"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+
+    # no duplicated lineage rows, every bucket marked once per stage
+    lin = t["lineage"].toPandas()
+    per = lin.groupby(["stage", "bucket"]).size()
+    assert (per == 1).all(), per[per > 1]
+    assert set(lin["stage"]) == {"extract", "fact_records"}
+    assert sorted(lin.loc[lin.stage == "extract", "bucket"]) == list(range(8))
