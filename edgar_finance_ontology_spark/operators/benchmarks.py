@@ -42,6 +42,13 @@ from pyspark.sql.types import (
 
 from ..vocab.metrics import BENCHMARK_RANKING_METRICS
 
+_BENCH_DDL = (
+    "industry string, sector string, metric string, fy int, "
+    "average_value double, median_value double, max_value double, "
+    "min_value double, percentile25 double, percentile75 double, "
+    "sample_size int"
+)
+
 _STATS_TYPE = StructType([
     StructField("average_value", DoubleType()),
     StructField("median_value", DoubleType()),
@@ -90,30 +97,48 @@ def compute_benchmarks(
     observations: DataFrame,
     fy: int,
     include_industry_scope: bool = True,
+    max_list_group: int = 100_000,
 ) -> DataFrame:
-    """BENCHMARKS_SCHEMA rows. industry='' sector='' = all-market."""
+    """BENCHMARKS_SCHEMA rows. industry='' sector='' = all-market.
+
+    `max_list_group`: industry groups larger than this bypass the
+    pandas list path and go through the exact distributed path — a
+    web-scale "industry" with millions of entities must never
+    materialize as one aggregation buffer.
+    """
     from .exact_stats import exact_group_stats
 
     spark = observations.sparkSession
     rows = _key_metric_values(observations)
 
+    # deterministic industry -> sector (reference intent; drift note)
+    ind_sector_rows = (
+        rows.groupBy("industry").agg(F.min("sector").alias("sector"))
+    )
+
     parts = []
     if include_industry_scope:
+        sizes = rows.groupBy("industry", "metric").agg(
+            F.count("value").alias("_n")
+        )
+        small_keys = sizes.where(
+            (F.col("_n") >= 2) & (F.col("_n") <= max_list_group)
+        ).select("industry", "metric")
+        big_keys = sizes.where(F.col("_n") > max_list_group).select(
+            "industry", "metric"
+        )
+
         grouped = (
-            rows.groupBy("industry", "metric")
+            rows.join(small_keys, ["industry", "metric"], "left_semi")
+            .groupBy("industry", "metric")
             .agg(
                 F.collect_list("value").alias("vals"),
                 F.count("value").alias("n"),
             )
-            .where(F.col("n") >= 2)
         )
         stats = grouped.withColumn("s", _group_stats(F.col("vals")))
-        # deterministic industry -> sector (reference intent; drift note)
-        ind_sector = (
-            rows.groupBy("industry").agg(F.min("sector").alias("sector"))
-        )
         parts.append(
-            stats.join(F.broadcast(ind_sector), "industry", "left")
+            stats.join(F.broadcast(ind_sector_rows), "industry", "left")
             .select(
                 "industry",
                 F.coalesce(F.col("sector"), F.lit("")).alias("sector"),
@@ -129,6 +154,29 @@ def compute_benchmarks(
             )
         )
 
+        # oversized industry groups: exact distributed path on the
+        # composite (industry, metric) key — same numbers, no list
+        if big_keys.limit(1).count() > 0:
+            big_rows = rows.join(big_keys, ["industry", "metric"],
+                                 "left_semi")
+            key = F.concat_ws("\x00", "industry", "metric")
+            big_pdf = exact_group_stats(
+                big_rows.withColumn("_k", key), "_k", "value", min_n=2
+            )
+            sec_map = {
+                r["industry"]: r["sector"] or ""
+                for r in ind_sector_rows.collect()
+            }
+            big_out = []
+            for r in big_pdf.to_dict("records"):
+                ind, met = r["group"].split("\x00", 1)
+                big_out.append(
+                    (ind, sec_map.get(ind, ""), met, fy, r["average"],
+                     r["median"], r["max"], r["min"], r["p25"], r["p75"],
+                     int(r["n"]))
+                )
+            parts.append(spark.createDataFrame(big_out, _BENCH_DDL))
+
     # all-market scope: distributed exact — NEVER a collect_list over
     # every entity (operators/exact_stats.py)
     allm = exact_group_stats(rows, "metric", "value", min_n=2)
@@ -137,13 +185,7 @@ def compute_benchmarks(
          r["min"], r["p25"], r["p75"], int(r["n"]))
         for r in allm.to_dict("records")
     ]
-    schema = (
-        "industry string, sector string, metric string, fy int, "
-        "average_value double, median_value double, max_value double, "
-        "min_value double, percentile25 double, percentile75 double, "
-        "sample_size int"
-    )
-    parts.append(spark.createDataFrame(allm_rows, schema))
+    parts.append(spark.createDataFrame(allm_rows, _BENCH_DDL))
 
     out = parts[0]
     for p in parts[1:]:

@@ -106,3 +106,61 @@ def test_compute_benchmarks_all_scope_matches_pandas_oracle(spark):
     assert g["percentile75"] == exp["p75"]
     assert g["max_value"] == exp["max"]
     assert g["min_value"] == exp["min"]
+
+
+def test_compute_benchmarks_hybrid_paths_agree(spark):
+    """Forcing a tiny list-group threshold routes industry groups
+    through the exact distributed path; results must equal the pandas
+    list path bit-for-bit."""
+    import random
+
+    from edgar_finance_ontology_spark.operators.benchmarks import (
+        compute_benchmarks,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(120):
+        rows.append((
+            f"{i:010d}", f"T{i}", f"Co{i}", "Tech", f"Ind{i % 6}",
+            2024, "ROE", False, round(rng.uniform(-5, 5), 6),
+        ))
+    obs = spark.createDataFrame(
+        rows,
+        "cik string, symbol string, name string, sector string, "
+        "industry string, fy int, metric string, is_derived boolean, "
+        "value double",
+    )
+    via_list = compute_benchmarks(obs, 2024).orderBy(
+        "industry", "metric").collect()
+    via_exact = compute_benchmarks(obs, 2024, max_list_group=3).orderBy(
+        "industry", "metric").collect()
+    assert [tuple(r) for r in via_list] == [tuple(r) for r in via_exact]
+
+
+def test_exact_stats_hypothesis_fuzz(spark):
+    """Randomized group shapes (sizes 1..40, incl. the even/odd median
+    and rank-edge cases) against the statistics module."""
+    import random
+
+    from edgar_finance_ontology_spark.operators.exact_stats import (
+        exact_group_stats,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        groups = {}
+        rows = []
+        for gi in range(rng.randint(2, 6)):
+            size = rng.choice([1, 2, 3, 4, 5, 8, 13, 40])
+            vals = [round(rng.uniform(-1e12, 1e12), 6) for _ in range(size)]
+            groups[f"g{gi}"] = vals
+            rows += [(f"g{gi}", v) for v in vals]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "metric string, value double")
+        got = {r["group"]: r for r in
+               exact_group_stats(df, "metric", "value").to_dict("records")}
+        for g, vals in groups.items():
+            exp = _expected(vals)
+            for k, v in exp.items():
+                assert got[g][k] == v, (trial, g, k, got[g][k], v)
