@@ -50,7 +50,8 @@ BENCH_QUERIES = [
     "simhash_dedup", "ann_cosine_topk", "ann_ivf_cell",
     "lang_id", "quality_scores", "token_counts", "doc_fingerprints",
     "gazetteer_mentions", "doc_dup_clusters", "global_topk",
-    "embedding_near_dup",
+    "embedding_near_dup", "repetition_scores", "cross_source_overlap",
+    "pii_scrub_stats",
 ]
 
 

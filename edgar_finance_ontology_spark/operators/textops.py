@@ -139,3 +139,111 @@ def fingerprints(df: DataFrame, text_col: str = "text",
         F.col(id_col).alias("id"),
         F.array_min(grams).alias("fingerprint"),
     )
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", ngram: int = 5) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition metrics per document:
+
+      dup_ngram_frac — 1 - distinct/total word n-grams (repeated
+                       boilerplate inflates it);
+      top_word_frac  — frequency share of the most common token.
+
+    Column-native (explode + two-phase aggregation — partial combines
+    map-side, scale-safe); the DuckDB oracle replays it exactly."""
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens_col(F.col(text_col))).alias("tok")) \
+             .where(F.col("tok") != "")
+    word_counts = toks.groupBy("id", "tok").agg(F.count("*").alias("c"))
+    words = word_counts.groupBy("id").agg(
+        F.sum("c").alias("n_words"), F.max("c").alias("top_c")
+    )
+    t = F.col(text_col)
+    arr = tokens_col(t)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(arr) - ngram, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(arr, i + 1, ngram)))
+    g = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .where(F.size(F.split(F.col("gram"), " ")) == ngram)
+        .groupBy("id")
+        .agg(F.count("*").alias("n_grams"),
+             F.countDistinct("gram").alias("n_distinct"))
+    )
+    return (
+        words.join(g, "id", "left")
+        .select(
+            "id", "n_words",
+            F.round(F.col("top_c") / F.col("n_words"), 6).alias("top_word_frac"),
+            F.when(
+                F.col("n_grams").isNotNull() & (F.col("n_grams") > 0),
+                F.round(1 - F.col("n_distinct") / F.col("n_grams"), 6),
+            ).alias("dup_ngram_frac"),
+        )
+    )
+
+
+def cross_source_overlap(df: DataFrame, test_source: str,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         source_col: str = "source", ngram: int = 8,
+                         max_df: int | None = 64) -> DataFrame:
+    """Benchmark-decontamination shape: for each document of
+    `test_source` (the held-out set), how many documents from OTHER
+    sources (the training pool) share at least one word n-gram, and the
+    largest shared-gram count with any single one.
+
+    Candidate generation goes through the inverted gram index with a
+    document-frequency cap (stop-grams never emit |df|^2 pairs) — the
+    same bounded-join discipline as the near-dup operators."""
+    from .dedup import word_shingles
+
+    sh = word_shingles(df, text_col, ngram, id_col).withColumnRenamed(
+        "shingle", "gram"
+    )
+    src = df.select(F.col(id_col).alias("id"),
+                    F.col(source_col).alias("source"))
+    sh = sh.join(src, "id")
+    if max_df is not None:
+        rare = sh.groupBy("gram").agg(F.count("*").alias("_df")) \
+                 .where(F.col("_df") <= max_df)
+        sh = sh.join(rare.select("gram"), "gram", "left_semi")
+    test = sh.where(F.col("source") == test_source) \
+             .select(F.col("id").alias("test_id"), "gram")
+    train = sh.where(F.col("source") != test_source) \
+              .select(F.col("id").alias("train_id"), "gram")
+    hits = (
+        test.join(train, "gram")
+        .groupBy("test_id", "train_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        hits.groupBy("test_id")
+        .agg(
+            F.count("*").alias("n_train_matches"),
+            F.max("shared").alias("max_shared_grams"),
+        )
+    )
+
+
+# PII patterns, portable across Java regex (Spark) and RE2 (DuckDB):
+# no backrefs, no lookaround.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d \-]{7,14}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask common PII shapes (emails, SSNs, IPv4s, phone-number runs)
+    in `text_col`, appending `<col>_scrubbed` + `pii_removed_chars`.
+    Pattern order matters (SSN before the generic digit-run)."""
+    scrubbed = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.withColumn(f"{text_col}_scrubbed", scrubbed).withColumn(
+        "pii_removed_chars",
+        F.greatest(
+            F.length(text_col) - F.length(f"{text_col}_scrubbed"), F.lit(0)
+        ),
+    )

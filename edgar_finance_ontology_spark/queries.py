@@ -944,6 +944,113 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 ORDER BY id_a, id_b
 """
 
+def q_repetition(spark, sf):
+    """Gopher-style repetition metrics per doc (dup 5-gram fraction +
+    top-word frequency share)."""
+    from .operators.textops import repetition_scores
+
+    d = _t(spark, sf, "documents")
+    return repetition_scores(d).orderBy("id")
+
+
+SQL_REPETITION = """
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+  FROM documents),
+tk AS (SELECT id, tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2),
+words AS (
+  SELECT id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS top_c
+  FROM tk GROUP BY 1),
+tl AS (
+  SELECT doc_id AS id, string_split(trim(lower(text)), ' ') AS t
+  FROM documents),
+grams0 AS (
+  SELECT id, concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4], t[i+5]) AS gram
+  FROM tl, UNNEST(range(0, greatest(len(t) - 5, 0) + 1)) AS u(i)),
+grams AS (
+  SELECT id, gram FROM grams0 WHERE len(string_split(gram, ' ')) = 5),
+g AS (
+  SELECT id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct
+  FROM grams GROUP BY 1)
+SELECT w.id, w.n_words,
+       round(w.top_c / w.n_words, 6) AS top_word_frac,
+       CASE WHEN g.n_grams > 0
+            THEN round(1 - g.n_distinct / g.n_grams, 6) END AS dup_ngram_frac
+FROM words w LEFT JOIN g ON g.id = w.id
+ORDER BY w.id
+"""
+
+
+def q_cross_source_overlap(spark, sf):
+    """Benchmark-decontamination shape: docs of source 'src0' (the
+    held-out set) sharing any 8-gram with docs of other sources."""
+    from .operators.textops import cross_source_overlap
+
+    d = _t(spark, sf, "documents")
+    return cross_source_overlap(d, "src0").orderBy("test_id")
+
+
+SQL_CROSS_SOURCE = """
+WITH tl AS (
+  SELECT doc_id AS id, source, string_split(trim(lower(text)), ' ') AS t
+  FROM documents),
+grams0 AS (
+  SELECT id, source,
+         concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4],
+                   t[i+5], t[i+6], t[i+7], t[i+8]) AS gram
+  FROM tl, UNNEST(range(0, greatest(len(t) - 8, 0) + 1)) AS u(i)),
+sh0 AS (
+  SELECT DISTINCT id, source, gram FROM grams0
+  WHERE len(string_split(gram, ' ')) = 8),
+rare AS (SELECT gram FROM sh0 GROUP BY 1 HAVING count(*) <= 64),
+sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (gram)),
+hits AS (
+  SELECT a.id AS test_id, b.id AS train_id, count(*) AS shared
+  FROM sh a JOIN sh b ON a.gram = b.gram
+  WHERE a.source = 'src0' AND b.source <> 'src0'
+  GROUP BY 1, 2)
+SELECT test_id, count(*) AS n_train_matches,
+       CAST(max(shared) AS BIGINT) AS max_shared_grams
+FROM hits GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_pii_scrub(spark, sf):
+    """PII masking sweep stats over the corpus (emails/SSNs/IPs/phone
+    runs -> tokens); returns the corpus-level scrub summary."""
+    from .operators.textops import pii_scrub
+
+    d = _t(spark, sf, "documents")
+    s = pii_scrub(d)
+    return s.groupBy().agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("text_scrubbed") != F.col("text"), 1)
+              .otherwise(0)).alias("n_docs_changed"),
+        F.sum("pii_removed_chars").cast("long").alias("total_removed_chars"),
+    )
+
+
+SQL_PII = r"""
+WITH s AS (
+  SELECT text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+?\d[\d \-]{7,14}\d', '<PHONE>', 'g') AS scrubbed
+  FROM documents)
+SELECT count(*) AS n_docs,
+       CAST(sum(CASE WHEN scrubbed <> text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_changed,
+       CAST(sum(greatest(length(text) - length(scrubbed), 0)) AS BIGINT)
+         AS total_removed_chars
+FROM s
+"""
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -974,4 +1081,7 @@ QUERIES = {
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_CLUSTERS),
     "global_topk": (q_global_topk, SQL_GLOBAL_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
+    "repetition_scores": (q_repetition, SQL_REPETITION),
+    "cross_source_overlap": (q_cross_source_overlap, SQL_CROSS_SOURCE),
+    "pii_scrub_stats": (q_pii_scrub, SQL_PII),
 }

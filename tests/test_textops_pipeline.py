@@ -1,0 +1,90 @@
+"""Unit semantics for the round-2 training-data ops: repetition
+scoring, cross-source decontamination, PII scrubbing."""
+
+from pyspark.sql import functions as F
+
+
+def test_repetition_scores_semantics(spark):
+    from edgar_finance_ontology_spark.operators.textops import (
+        repetition_scores,
+    )
+
+    docs = [
+        # "a b c d e" repeated 4x -> heavy 5-gram duplication
+        ("rep", " ".join(["a b c d e"] * 4)),
+        # all-distinct words -> zero duplication, top frac = 1/10
+        ("uniq", "q w e r t y u i o p"),
+        # one dominant token
+        ("top", "x x x x x x x x y z"),
+        ("short", "one two"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["id"]: r for r in repetition_scores(df).collect()}
+    assert got["uniq"]["dup_ngram_frac"] == 0.0
+    assert got["uniq"]["top_word_frac"] == 0.1
+    # 20 words -> 16 5-grams, 5 distinct (period-5 cycle): 1 - 5/16
+    assert got["rep"]["dup_ngram_frac"] == 0.6875
+    assert got["top"]["top_word_frac"] == 0.8
+    # doc shorter than the n-gram: metric undefined, not fabricated
+    assert got["short"]["dup_ngram_frac"] is None
+    assert got["short"]["n_words"] == 2
+
+
+def test_cross_source_overlap_semantics(spark):
+    from edgar_finance_ontology_spark.operators.textops import (
+        cross_source_overlap,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        ("t1", shared + " extra tail words here", "test"),
+        ("t2", "totally different held out content with many words", "test"),
+        ("tr1", "prefix words " + shared, "train"),
+        ("tr2", shared + " another continuation", "train"),
+        ("tr3", "unrelated training document with its own words", "train"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string, source string")
+    got = {r["test_id"]: r for r in
+           cross_source_overlap(df, "test").collect()}
+    # t1 shares the 8-gram with both tr1 and tr2; t2 is clean
+    assert got["t1"]["n_train_matches"] == 2
+    assert got["t1"]["max_shared_grams"] >= 1
+    assert "t2" not in got
+
+
+def test_pii_scrub_masks_and_preserves(spark):
+    from edgar_finance_ontology_spark.operators.textops import pii_scrub
+
+    docs = [
+        ("a", "contact jane.doe+spam@example.co.uk for details"),
+        ("b", "ssn 123-45-6789 and phone +1 415-555-0199 on file"),
+        ("c", "server at 192.168.10.250 responded"),
+        ("d", "no pii in this perfectly ordinary sentence"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got["a"]["text_scrubbed"] == "contact <EMAIL> for details"
+    assert "<SSN>" in got["b"]["text_scrubbed"]
+    assert "<PHONE>" in got["b"]["text_scrubbed"]
+    assert "123-45-6789" not in got["b"]["text_scrubbed"]
+    assert got["c"]["text_scrubbed"] == "server at <IP> responded"
+    assert got["d"]["text_scrubbed"] == got["d"]["text"]
+    assert got["d"]["pii_removed_chars"] == 0
+    assert got["a"]["pii_removed_chars"] > 0
+
+
+def test_cross_source_overlap_df_cap_bounds_pairs(spark):
+    """A gram shared by every doc must not join quadratically when the
+    df cap is active."""
+    from edgar_finance_ontology_spark.operators.textops import (
+        cross_source_overlap,
+    )
+
+    boiler = "common boiler plate phrase appears in every document here"
+    docs = [(f"t{i}", boiler, "test") for i in range(10)]
+    docs += [(f"r{i}", boiler, "train") for i in range(100)]
+    df = spark.createDataFrame(docs, "doc_id string, text string, source string")
+    capped = cross_source_overlap(df, "test", max_df=50)
+    assert capped.count() == 0  # boiler grams dropped by the cap
+    uncapped = cross_source_overlap(df, "test", max_df=None)
+    assert uncapped.count() == 10  # every test doc matches
