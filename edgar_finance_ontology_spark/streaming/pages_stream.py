@@ -117,3 +117,22 @@ def stateful_session_counts(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_dedup_exact(
+    pages_stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: keep the first-seen page per content hash
+    within the watermark horizon. dropDuplicatesWithinWatermark bounds
+    the dedup state — at 10^12 pages an unbounded dedup state is
+    impossible, so the horizon IS the operator's contract (re-crawls
+    newer than the horizon dedup; a year-later duplicate re-emits and
+    is handled by the batch dedup family instead)."""
+    keyed = pages_stream.withColumn(
+        "content_md5",
+        F.md5(F.coalesce(F.col("text"), F.col("html").cast("string"))),
+    )
+    return (
+        keyed.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+    )

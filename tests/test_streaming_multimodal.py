@@ -214,3 +214,44 @@ def test_image_pil_decode_when_available(spark):
     buf = io.BytesIO()
     Image.new("RGB", (12, 7)).save(buf, format="PNG")
     assert _decode_image_pil(buf.getvalue()) == ("png", 12, 7)
+
+
+def test_stream_dedup_exact_across_microbatches(spark, tmp_path):
+    """Duplicates arriving in DIFFERENT microbatches (separate files,
+    maxFilesPerTrigger=4) are still deduped: one surviving page per
+    content hash, state bounded by the watermark."""
+    import datetime as dt
+
+    from edgar_finance_ontology_spark.sources.schemas import PAGES_SCHEMA
+    from edgar_finance_ontology_spark.streaming.pages_stream import (
+        read_pages_stream, stream_dedup_exact,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    base = dt.datetime(2025, 3, 1, 12, 0, 0)
+    # 3 files x 4 pages; content cycles over 4 distinct texts so every
+    # file repeats the same payloads under different urls
+    for f in range(3):
+        rows = [
+            (f"https://x.example/{f}/{i}", base + dt.timedelta(minutes=f),
+             None, f"payload number {i % 4}", "en")
+            for i in range(4)
+        ]
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(pages_dir)
+
+    out = stream_dedup_exact(read_pages_stream(spark, pages_dir))
+    q = (
+        out.writeStream.format("memory").queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT content_md5, count(*) AS n FROM dedup_stream GROUP BY 1"
+    ).collect()
+    assert len(got) == 4
+    assert all(r["n"] == 1 for r in got)
