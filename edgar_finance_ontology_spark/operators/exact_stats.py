@@ -87,32 +87,45 @@ def exact_group_stats(df: DataFrame, group_col: str, value_col: str,
     def pick(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         off = bc_off.value
         want = bc_want.value
-        pos: dict = {}
+        carried: dict = {}  # rows of each group already seen this task
         for pdf in batches:
             out_g, out_kind, out_rank, out_num, out_den = [], [], [], [], []
-            frac: dict = {}
-            cnt: dict = {}
-            for g, v, pid in zip(pdf["g"], pdf["v"], pdf["pid"]):
-                if g not in pos:
-                    pos[g] = off.get((pid, g), 0)
-                pos[g] += 1
-                if g in want and pos[g] in want[g]:
+            # global rank per row, vectorized: local cumcount + the
+            # task's per-(pid, group) offset + rows carried from
+            # earlier batches of the same partition
+            grp = pdf.groupby("g", sort=False)
+            local = grp.cumcount().to_numpy() + 1
+            pid0 = int(pdf["pid"].iloc[0]) if len(pdf) else 0
+            base = pdf["g"].map(
+                lambda g: off.get((pid0, g), 0) + carried.get(g, 0)
+            ).to_numpy()
+            pos = local + base
+            # rank-targeted rows (tiny selection per group)
+            gvals = pdf["g"].to_numpy()
+            vvals = pdf["v"].to_numpy()
+            for g, ranks in want.items():
+                mask = gvals == g
+                if not mask.any():
+                    continue
+                hit = mask & pd.Series(pos).isin(ranks).to_numpy()
+                for p, v in zip(pos[hit], vvals[hit]):
                     fv = Fraction(float(v))
                     out_g.append(g)
                     out_kind.append("rank")
-                    out_rank.append(pos[g])
+                    out_rank.append(int(p))
                     out_num.append(str(fv.numerator))
                     out_den.append(str(fv.denominator))
-                fs = frac.get(g)
-                fv = Fraction(float(v))
-                frac[g] = fv if fs is None else fs + fv
-                cnt[g] = cnt.get(g, 0) + 1
-            for g, fs in frac.items():
+            # exact Fraction partial sums per group (the one place
+            # arbitrary-precision arithmetic is genuinely required —
+            # statistics.mean is exact-rational)
+            for g, vals in grp["v"]:
+                fs = sum(map(Fraction, map(float, vals.to_numpy())))
                 out_g.append(g)
                 out_kind.append("sum")
-                out_rank.append(cnt[g])
+                out_rank.append(int(len(vals)))
                 out_num.append(str(fs.numerator))
                 out_den.append(str(fs.denominator))
+                carried[g] = carried.get(g, 0) + len(vals)
             yield pd.DataFrame({
                 "g": pd.Series(out_g, dtype="object"),
                 "kind": pd.Series(out_kind, dtype="object"),
