@@ -180,5 +180,6 @@ def run_web_pipeline_resumable(
     facts = assemble_facts(records)
     companies = parse_company_profiles(extracted)
     out = run_pipeline(facts, companies, fy, **kw)
+    out["facts"] = facts
     out["lineage"] = log.metrics()
     return out

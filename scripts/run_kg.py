@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--prefer-unit", default="USD")
     ap.add_argument("--metrics", nargs="+", default=["all"])
     ap.add_argument("--skip-derived", action="store_true")
+    ap.add_argument(
+        "--resume-dir", default=None,
+        help="per-bucket lineage directory: a killed run restarted with "
+             "the same dir reprocesses only unfinished buckets",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -50,11 +55,23 @@ def main():
         pages = spark.read.parquet(args.pages_dir)
     else:
         pages = synthesize_pages(spark, n_companies=args.n_companies)
-    facts, companies = pages_to_inputs(pages)
-    t = run_pipeline(
-        facts, companies, fy=args.fy, tol_days=args.fy_tol_days,
-        prefer_unit=args.prefer_unit,
-    )
+    if args.resume_dir:
+        from edgar_finance_ontology_spark.plans.web_pipeline import (
+            run_web_pipeline_resumable,
+        )
+
+        t = run_web_pipeline_resumable(
+            pages, fy=args.fy, run_dir=args.resume_dir,
+            tol_days=args.fy_tol_days, prefer_unit=args.prefer_unit,
+        )
+        companies = t["companies"]
+        facts = t["facts"]
+    else:
+        facts, companies = pages_to_inputs(pages)
+        t = run_pipeline(
+            facts, companies, fy=args.fy, tol_days=args.fy_tol_days,
+            prefer_unit=args.prefer_unit,
+        )
     trip = build_triples(
         t["observations"], companies, t["benchmarks"], t["rankings"],
         fy=args.fy,
