@@ -164,18 +164,24 @@ def _instance_dim_lines(obs_csv_frame: DataFrame) -> list:
         & F.col("period_type").isin("duration", "instant")
         & (F.col("value") != "")
     )
-    units = sorted(
-        r[0] for r in valid.select("unit").where(
-            F.col("unit").isNotNull() & (F.col("unit") != "")
-        ).distinct().collect()
-    )
-    currencies = sorted(u.upper() for u in set(units)
-                        if u.upper() in CURRENCY_CODES)
-    qnames = sorted(
-        r[0] for r in valid.select(F.trim("selected_tag")).where(
-            F.trim("selected_tag") != ""
-        ).distinct().collect()
-    )
+    # one job for both bounded dimension sets (distinct units + distinct
+    # concept QNames) instead of two separate distinct().collect()s —
+    # each action re-derives the upstream observation lineage
+    dims = valid.agg(
+        F.collect_set(
+            F.when(F.col("unit").isNotNull() & (F.col("unit") != ""),
+                   F.col("unit"))
+        ).alias("units"),
+        F.collect_set(
+            F.when(F.trim("selected_tag") != "", F.trim("selected_tag"))
+        ).alias("qnames"),
+    ).first()
+    units = sorted(dims["units"])
+    # dedup AFTER uppercasing (mixed-case 'usd'/'USD' inputs must emit
+    # one Currency line — matches turtle_text's seen['currencies'] set)
+    currencies = sorted({u.upper() for u in units
+                         if u.upper() in CURRENCY_CODES})
+    qnames = sorted(dims["qnames"])
     lines = []
     if units:
         lines += ["", "# Unit 인스턴스"]
@@ -205,6 +211,24 @@ def _instance_dim_lines(obs_csv_frame: DataFrame) -> list:
     return lines
 
 
+def _family_summary(csv_frame: DataFrame, with_fy: bool = False):
+    """ONE job per family frame: (n_rows, has_all_market_row[, first
+    non-empty fy]). Replaces the per-flag limit(1).count() probes, each
+    of which re-derived the full upstream lineage."""
+    aggs = [
+        F.count("*").alias("n"),
+        F.max(
+            F.when((F.trim("industry") == "") & (F.trim("sector") == ""), 1)
+            .otherwise(0)
+        ).alias("all_market"),
+    ]
+    if with_fy:
+        aggs.append(
+            F.min(F.when(F.trim("fy") != "", F.col("fy"))).alias("fy")
+        )
+    return csv_frame.agg(*aggs).first()
+
+
 def write_turtle_document(
     out_dir: str,
     companies: DataFrame,
@@ -213,13 +237,18 @@ def write_turtle_document(
     rankings: DataFrame | None = None,
     include_industry_scope: bool = False,
     include_sector_scope: bool = False,
+    fy: int | None = None,
 ) -> str:
     """The whole canonical Turtle document as ordered pieces under
     `out_dir`: driver-rendered glue files + one Spark text-part dir per
     unbounded family. `concat_turtle_parts(out_dir)` == turtle_text.
 
     Inputs are the ENGINE tables (run_pipeline outputs + companies);
-    canonical ordering is applied here.
+    canonical ordering is applied here. Pass the pipeline's `fy` to
+    skip deriving the ranking fiscal year from the data (one less job);
+    when omitted it is recovered exactly as turtle_text does — first
+    ranking row's fy, falling back to the first observation's fy when
+    rankings carry an empty fy (select_xbrl_tags parity).
     """
     from ..plans.pipeline import (
         canonical_benchmarks_order, canonical_rankings_order,
@@ -240,19 +269,18 @@ def write_turtle_document(
     obs_csv = observations_csv_frame(observations)
 
     bench_csv = rank_csv = None
+    bench_sum = rank_sum = None
     needs_sector_all = False
     if benchmarks is not None:
         bench_csv = benchmarks_csv_frame(
             canonical_benchmarks_order(benchmarks, observations)
         )
-        needs_sector_all = needs_sector_all or bench_csv.where(
-            (F.trim("industry") == "") & (F.trim("sector") == "")
-        ).limit(1).count() > 0
+        bench_sum = _family_summary(bench_csv)
+        needs_sector_all = needs_sector_all or bench_sum["all_market"] == 1
     if rankings is not None:
         rank_csv = rankings_csv_frame(canonical_rankings_order(rankings))
-        needs_sector_all = needs_sector_all or rank_csv.where(
-            (F.trim("industry") == "") & (F.trim("sector") == "")
-        ).limit(1).count() > 0
+        rank_sum = _family_summary(rank_csv, with_fy=fy is None)
+        needs_sector_all = needs_sector_all or rank_sum["all_market"] == 1
 
     glue("00-header.txt", HEADER_LINES)
     company_lines_df(comp_ordered).select("block").write.mode(
@@ -265,22 +293,28 @@ def write_turtle_document(
     ).write.mode("overwrite").text(os.path.join(out_dir, "03-observations"))
     glue("04-instance-dims.txt", _instance_dim_lines(obs_csv))
 
-    if bench_csv is not None and bench_csv.limit(1).count() > 0:
+    if bench_csv is not None and bench_sum["n"] > 0:
         glue("05-bench-header.txt", ["", "# 벤치마크 통계"])
         benchmark_lines_df(bench_csv, include_industry_scope).select(
             "block"
         ).write.mode("overwrite").text(os.path.join(out_dir, "06-benchmarks"))
-    if rank_csv is not None:
-        first = rank_csv.select("fy").limit(1).collect()
-        if first:
-            fy_ranking = first[0][0] or ""
-            glue("07-rank-header.txt", ["", "# 랭킹"])
-            ranking_lines_df(
-                rank_csv, fy_ranking,
-                include_industry_scope, include_sector_scope,
-            ).select("block").write.mode("overwrite").text(
-                os.path.join(out_dir, "08-rankings")
-            )
+    if rank_csv is not None and rank_sum["n"] > 0:
+        if fy is not None:
+            fy_ranking = str(fy)
+        else:
+            fy_ranking = rank_sum["fy"] or ""
+            if not fy_ranking:
+                # rankings carry no fy: turtle_text falls back to the
+                # first observation's fy (select_xbrl_tags parity)
+                first_obs = obs_csv.select("fy").limit(1).collect()
+                fy_ranking = (first_obs[0][0] or "") if first_obs else ""
+        glue("07-rank-header.txt", ["", "# 랭킹"])
+        ranking_lines_df(
+            rank_csv, fy_ranking,
+            include_industry_scope, include_sector_scope,
+        ).select("block").write.mode("overwrite").text(
+            os.path.join(out_dir, "08-rankings")
+        )
     return out_dir
 
 

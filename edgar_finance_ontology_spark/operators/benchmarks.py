@@ -127,6 +127,10 @@ def compute_benchmarks(
         big_keys = sizes.where(F.col("_n") > max_list_group).select(
             "industry", "metric"
         )
+        # one cheap partial-agg job decides the routing (max group size)
+        # instead of a limit(1).count() probe whose semi-join replays
+        # the full rows lineage a second time
+        max_n = sizes.agg(F.max("_n")).first()[0]
 
         grouped = (
             rows.join(small_keys, ["industry", "metric"], "left_semi")
@@ -156,7 +160,7 @@ def compute_benchmarks(
 
         # oversized industry groups: exact distributed path on the
         # composite (industry, metric) key — same numbers, no list
-        if big_keys.limit(1).count() > 0:
+        if max_n is not None and max_n > max_list_group:
             big_rows = rows.join(big_keys, ["industry", "metric"],
                                  "left_semi")
             key = F.concat_ws("\x00", "industry", "metric")

@@ -210,17 +210,54 @@ def simhash64(df: DataFrame, text_col: str = "text",
     return sums.select("id", F.concat(*chars).alias("simhash"))
 
 
+# 16 nibbles 0000..1111 concatenated — the hex->binary lookup string
+# used by bin64_sql (portable: the identical expression runs in Spark
+# SQL and in the DuckDB oracle).
+_NIBBLES = "".join(format(i, "04b") for i in range(16))
+
+
+def bin64_sql(col: str) -> str:
+    """SQL fragment turning a 16-hex-char column into its 64-char
+    binary-string expansion. Pure instr/substr/concat — valid in both
+    Spark SQL and DuckDB, so oracles replay banding exactly."""
+    parts = [
+        f"substr('{_NIBBLES}', (instr('{_HEX}', substr({col}, {j}, 1)) - 1)"
+        f" * 4 + 1, 4)"
+        for j in range(1, 17)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def band_bit_ranges(bands: int) -> list[tuple[int, int, int]]:
+    """Partition the 64 fingerprint bits into `bands` contiguous ranges:
+    [(band, lo_1based, width), ...] with widths differing by ≤ 1."""
+    base, rem = divmod(64, bands)
+    out, lo = [], 1
+    for b in range(bands):
+        w = base + (1 if b < rem else 0)
+        out.append((b, lo, w))
+        lo += w
+    return out
+
+
 def simhash_bands(sigs: DataFrame, bands: int = 4) -> DataFrame:
-    """(id, band, bucket): bucket = the band's hex-char slice of the
-    fingerprint. Near-dups (hamming ≤ 64/bands − 1 per pigeonhole)
-    share at least one exact band bucket."""
-    width = 16 // bands
+    """(id, band, bucket): bucket = the band's bit-substring of the
+    64-bit fingerprint (bands partition ALL 64 bits at bit granularity,
+    so any 1..64 band count is valid — not just divisors of 16).
+
+    Pigeonhole recall guarantee: a pair with hamming ≤ bands − 1 has at
+    least one band with zero differing bits, hence shares that band's
+    bucket. Above bands − 1 recall is best-effort only (a hamming-h
+    pair can spread h ≥ bands differing bits across every band and be
+    missed). For hamming ≤ h guarantees use bands = h + 1 — see
+    simhash_near_dup_pairs, which defaults to exactly that."""
+    bin64 = F.expr(bin64_sql("simhash"))
     arr = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.substring("simhash", 1 + b * width, width).alias("bucket"),
+            F.substring(bin64, lo, w).alias("bucket"),
         )
-        for b in range(bands)
+        for b, lo, w in band_bit_ranges(bands)
     ])
     return sigs.select("id", "simhash", F.explode(arr).alias("bb")).select(
         "id", "simhash", F.col("bb.band").alias("band"),
@@ -229,13 +266,24 @@ def simhash_bands(sigs: DataFrame, bands: int = 4) -> DataFrame:
 
 
 def simhash_near_dup_pairs(
-    sigs: DataFrame, bands: int = 4, max_hamming: int = 8,
+    sigs: DataFrame, bands: int | None = None, max_hamming: int = 8,
     max_bucket: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) for pairs sharing any simhash band bucket
-    with hamming distance ≤ max_hamming. Candidate generation is
+    with hamming distance ≤ max_hamming.
+
+    `bands=None` (default) picks bands = max_hamming + 1, the minimum
+    band count whose pigeonhole bound covers max_hamming — every
+    qualifying pair is guaranteed to surface (full recall). Passing a
+    smaller explicit `bands` trades recall above bands − 1 for more
+    selective (wider) buckets: with 9 bands the buckets are ~7 bits
+    (128 values), so at true web scale prefer the Manku et al. (WWW'07)
+    operating point — max_hamming=3, bands=4, 16-bit buckets — or run
+    multiple permuted fingerprint tables. Candidate generation is
     bucket-bounded (never all-pairs); `max_bucket` drops degenerate hot
     buckets the same way lsh_candidate_pairs does."""
+    if bands is None:
+        bands = max_hamming + 1
     b = simhash_bands(sigs, bands)
     if max_bucket is not None:
         ok = b.groupBy("band", "bucket").agg(F.count("*").alias("_n")) \

@@ -226,11 +226,22 @@ def cross_source_overlap(df: DataFrame, test_source: str,
 
 # PII patterns, portable across Java regex (Spark) and RE2 (DuckDB):
 # no backrefs, no lookaround.
+#
+# The phone pattern deliberately does NOT match bare space-separated
+# digit runs: a filings corpus is full of numeric tables and year lists
+# ("revenue 1000000 2000000", "years 2020 2021 2022") that a generic
+# digit-run pattern would destroy wholesale. A match must carry an
+# explicit phone marker: a leading '+' country code, a parenthesized
+# area code, or hyphenated 3-3/4-4 grouping.
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\d{3}-\d{2}-\d{4}", "<SSN>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d \-]{7,14}\d", "<PHONE>"),
+    ("phone",
+     r"\+\d{1,3}[ \-]?\(?\d{2,4}\)?[ \-]?\d{3,4}[ \-]?\d{3,4}"
+     r"|\(\d{2,4}\)[ \-]?\d{3,4}[ \-]?\d{4}"
+     r"|\d{3}-\d{3,4}-\d{4}",
+     "<PHONE>"),
 ]
 
 

@@ -577,16 +577,28 @@ FROM jac WHERE jaccard >= 0.12 ORDER BY id_a, id_b
 
 
 def q_simhash(spark, sf):
-    """64-bit simhash near-dup pairs: one-groupBy signatures, banded
-    candidate buckets (4 × 16 bits), hamming-verified ≤ 8."""
+    """64-bit simhash near-dup pairs: one-groupBy signatures, bit-level
+    banding at bands = max_hamming + 1 = 9 (~7-bit bands), so every
+    hamming ≤ 8 pair is pigeonhole-GUARANTEED to share a band bucket."""
     from .operators.dedup import simhash64, simhash_near_dup_pairs
 
     d = _t(spark, sf, "documents")
-    pairs = simhash_near_dup_pairs(simhash64(d), bands=4, max_hamming=8)
+    pairs = simhash_near_dup_pairs(simhash64(d), max_hamming=8)
     return pairs.orderBy("id_a", "id_b")
 
 
-SQL_SIMHASH = """
+def _simhash_bands_values(bands):
+    from .operators.dedup import band_bit_ranges
+    return ", ".join(f"({b}, {lo}, {w})"
+                     for b, lo, w in band_bit_ranges(bands))
+
+
+def _bin64(col):
+    from .operators.dedup import bin64_sql
+    return bin64_sql(col)
+
+
+SQL_SIMHASH = f"""
 WITH toks AS (
   SELECT doc_id AS id, unnest(string_split(trim(lower(text)), ' ')) AS tok
   FROM documents),
@@ -606,8 +618,8 @@ sig AS (
                     '' ORDER BY j) AS simhash
   FROM nib GROUP BY 1),
 bands AS (
-  SELECT id, simhash, b AS band, substr(simhash, 1 + b * 4, 4) AS bucket
-  FROM sig, UNNEST(range(0, 4)) AS w(b)),
+  SELECT id, simhash, band, substr({_bin64('simhash')}, lo, w) AS bucket
+  FROM sig, (VALUES {_simhash_bands_values(9)}) AS bb(band, lo, w)),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          a.simhash AS sig_a, b.simhash AS sig_b
@@ -1040,7 +1052,7 @@ WITH s AS (
                  '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-           '\+?\d[\d \-]{7,14}\d', '<PHONE>', 'g') AS scrubbed
+           '\+\d{1,3}[ \-]?\(?\d{2,4}\)?[ \-]?\d{3,4}[ \-]?\d{3,4}|\(\d{2,4}\)[ \-]?\d{3,4}[ \-]?\d{4}|\d{3}-\d{3,4}-\d{4}', '<PHONE>', 'g') AS scrubbed
   FROM documents)
 SELECT count(*) AS n_docs,
        CAST(sum(CASE WHEN scrubbed <> text THEN 1 ELSE 0 END) AS BIGINT)

@@ -120,3 +120,38 @@ def test_simhash_near_dup_pairs_finds_near_and_skips_far(spark):
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
     assert got.get(("a1", "a2")) == 0
     assert not any("zz" in p for p in got)
+
+
+def test_simhash_banding_recall_guarantee(spark):
+    """A hamming-8 pair whose 8 differing bits spread 2-per-16-bit-band
+    is invisible to 4-band banding (pigeonhole covers only hamming ≤
+    bands − 1 = 3) but MUST surface at the default
+    bands = max_hamming + 1 = 9 — the round-2 recall-contract fix."""
+    from edgar_finance_ontology_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    # sig_b = '3000' * 4: hex '3' = 0011 -> exactly 2 differing bits in
+    # each of the four 16-bit bands (bits 3,4 / 19,20 / 35,36 / 51,52)
+    sigs = spark.createDataFrame(
+        [("a", "0" * 16), ("b", "3000" * 4)], "id string, simhash string"
+    )
+    found = simhash_near_dup_pairs(sigs, max_hamming=8).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in found] == [
+        ("a", "b", 8)
+    ]
+    # explicit bands=4 misses it — the documented ≤ bands−1 bound
+    missed = simhash_near_dup_pairs(sigs, bands=4, max_hamming=8).collect()
+    assert missed == []
+
+
+def test_simhash_band_bit_ranges_partition_all_64_bits():
+    from edgar_finance_ontology_spark.operators.dedup import band_bit_ranges
+
+    for bands in (1, 2, 4, 9, 13, 64):
+        ranges = band_bit_ranges(bands)
+        assert len(ranges) == bands
+        covered = []
+        for _, lo, w in ranges:
+            covered.extend(range(lo, lo + w))
+        assert covered == list(range(1, 65)), bands

@@ -60,6 +60,11 @@ def test_pii_scrub_masks_and_preserves(spark):
         ("b", "ssn 123-45-6789 and phone +1 415-555-0199 on file"),
         ("c", "server at 192.168.10.250 responded"),
         ("d", "no pii in this perfectly ordinary sentence"),
+        # numeric tables / year lists MUST survive (filings are full of
+        # adjacent numeric tokens a naive digit-run pattern destroys)
+        ("e", "revenue 1000000 2000000 3000000 total 6000000"),
+        ("f", "years 2020 2021 2022 2023 show steady growth"),
+        ("g", "call (02) 123 4567 or 650-253-0000 anytime"),
     ]
     df = spark.createDataFrame(docs, "doc_id string, text string")
     got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
@@ -71,6 +76,9 @@ def test_pii_scrub_masks_and_preserves(spark):
     assert got["d"]["text_scrubbed"] == got["d"]["text"]
     assert got["d"]["pii_removed_chars"] == 0
     assert got["a"]["pii_removed_chars"] > 0
+    assert got["e"]["text_scrubbed"] == got["e"]["text"]
+    assert got["f"]["text_scrubbed"] == got["f"]["text"]
+    assert got["g"]["text_scrubbed"] == "call <PHONE> or <PHONE> anytime"
 
 
 def test_cross_source_overlap_df_cap_bounds_pairs(spark):

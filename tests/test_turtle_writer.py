@@ -44,9 +44,29 @@ def test_full_document_distributed_concat_byte_identical(
     facts, companies = engine_inputs
     t = run_pipeline(facts, companies, fy=2024)
     out = str(tmp_path / "ttl_parts")
-    write_turtle_document(
-        out, companies, t["observations"], t["benchmarks"], t["rankings"]
-    )
+    sc = spark.sparkContext
+    sc.setJobGroup("ttl_write", "job-count audit")
+    # AQE off for the audit: with AQE every shuffle stage materializes
+    # as its own job, hiding the action count we want to regress on
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        write_turtle_document(
+            out, companies, t["observations"], t["benchmarks"],
+            t["rankings"], fy=2024,
+        )
+    finally:
+        sc.setJobGroup("", "")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # probe-job audit (round-2 verdict #9): the writer must run a
+    # bounded number of jobs — one summary agg per family frame + one
+    # dims agg + 2 entity-dim collects + 4 part writes (plus orderBy
+    # range-sampling and broadcast-build jobs), NOT per-flag
+    # limit(1).count() probes that each replay the upstream lineage.
+    # measured 33 with AQE off (part writes + their range-sampling +
+    # broadcast-build jobs + the 5 bounded driver aggregates); the old
+    # probe-based writer ran 4 extra full-lineage actions on top.
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup("ttl_write")
+    assert len(jobs) <= 36, len(jobs)
     got = concat_turtle_parts(out)
     want = golden_turtle(facts, companies, fy=2024)
     if got != want:
@@ -58,3 +78,62 @@ def test_full_document_distributed_concat_byte_identical(
     # and therefore byte-identical to the reference's own emission
     ref = (panel_dir["dir"] / "instances.ttl").read_text()
     assert got == ref
+
+
+def test_instance_dims_dedupe_mixed_case_currencies(spark):
+    """'usd' and 'USD' units must emit ONE efin:CurrencyUSD line —
+    matching turtle_text's seen['currencies'] set semantics."""
+    from edgar_finance_ontology_spark.emit.turtle_writer import (
+        _instance_dim_lines,
+    )
+
+    rows = [
+        ("1", "Revenue", "2024", "duration", "1.0", "usd", "us-gaap:Revenues"),
+        ("2", "Revenue", "2024", "duration", "2.0", "USD", "us-gaap:Revenues"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "cik string, metric string, fy string, period_type string, "
+        "value string, unit string, selected_tag string",
+    )
+    lines = _instance_dim_lines(df)
+    cur = [ln for ln in lines if ln.startswith("efin:CurrencyUSD ")]
+    assert cur == ["efin:CurrencyUSD a efin:Currency ."]
+    # units keep turtle_text's raw-string set semantics: both spellings
+    # survive as members, and both camel-case to the SAME IRI — the
+    # duplicate Unit line is the documented parity behavior
+    units = [ln for ln in lines if ln.startswith("efin:UnitUsd ")]
+    assert units == ["efin:UnitUsd a efin:Unit ."] * 2
+
+
+def test_ranking_fy_falls_back_to_first_observation(
+    spark, engine_inputs, tmp_path
+):
+    """Rankings with an empty fy: the distributed writer must recover
+    the fiscal year from the first observation row, exactly like
+    turtle_text (select_xbrl_tags parity) — round-2 advice item."""
+    from pyspark.sql import functions as F
+    from edgar_finance_ontology_spark.emit.turtle_writer import (
+        write_turtle_document,
+    )
+    from edgar_finance_ontology_spark.plans.pipeline import run_pipeline
+
+    facts, companies = engine_inputs
+    t = run_pipeline(facts, companies, fy=2024)
+    blank_fy = t["rankings"].withColumn(
+        "fy", F.lit(None).cast(t["rankings"].schema["fy"].dataType)
+    )
+    out = str(tmp_path / "ttl_fy_fallback")
+    write_turtle_document(
+        out, companies, t["observations"], None, blank_fy
+    )
+    import os
+
+    parts = []
+    rank_dir = os.path.join(out, "08-rankings")
+    for name in sorted(os.listdir(rank_dir)):
+        if name.startswith("part-"):
+            with open(os.path.join(rank_dir, name), encoding="utf-8") as f:
+                parts.append(f.read())
+    text = "".join(parts)
+    assert "efin:forFiscalYear 2024 ;" in text
