@@ -36,13 +36,47 @@ Notes mirrored from the reference docs:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..vocab.metrics import COMPUTED_FROM_WHITELIST
 from .views import metric_hierarchy
 
-FY = 2024
+class _Year:
+    """Symbolic fiscal-year token. The catalog SQL below interpolates
+    `{FY}` / `{FY - 1}` as placeholder tokens (`__FY__`, `__FY-1__`),
+    which `render_fy` resolves to a concrete year — so the whole
+    catalog is parameterized by fiscal year (build_cq_catalog(fy))
+    without touching a single query string."""
+
+    def __init__(self, off: int = 0):
+        self.off = off
+
+    def __sub__(self, n: int) -> "_Year":
+        return _Year(self.off - n)
+
+    def __add__(self, n: int) -> "_Year":
+        return _Year(self.off + n)
+
+    def __str__(self) -> str:
+        return f"__FY{self.off:+d}__" if self.off else "__FY__"
+
+    def __format__(self, spec: str) -> str:
+        return str(self)
+
+
+FY = _Year()
+
+_FY_TOKEN = re.compile(r"__FY(?:([+-]\d+))?__")
+
+DEFAULT_FY = 2024
+
+
+def render_fy(sql: str, fy: int) -> str:
+    """Resolve every __FY__ / __FY±k__ token to a concrete year."""
+    return _FY_TOKEN.sub(lambda m: str(fy + int(m.group(1) or 0)), sql)
 
 # ---------------------------------------------------------------------
 # support views (created identically in Spark and DuckDB, over the base
@@ -182,7 +216,7 @@ SUPPORT_VIEWS: list[tuple[str, str]] = [
 ]
 
 
-def _obs(metric: str, alias: str, fy: int = FY) -> str:
+def _obs(metric: str, alias: str, fy: int | _Year = FY) -> str:
     """Star-BGP leg: one observation of `metric` per company."""
     return (f"(SELECT cik, value AS {alias} FROM efin_observations "
             f"WHERE metric = '{metric}' AND fy = {fy}) {alias}_t")
@@ -1173,6 +1207,29 @@ ORDER BY o.cik, o.metric, o.fy, o.value
 # registration + execution
 # ---------------------------------------------------------------------
 
+# ---------------------------------------------------------------------
+# fiscal-year rendering: the module body above built TEMPLATES (year =
+# __FY__ tokens); the public CQ_CATALOG / SUPPORT_VIEWS are the
+# DEFAULT_FY rendering, and build_cq_catalog(fy) re-renders the whole
+# 57-view surface for any year.
+# ---------------------------------------------------------------------
+
+_CQ_TEMPLATES: dict[str, str] = dict(CQ_CATALOG)
+_SUPPORT_TEMPLATES: list[tuple[str, str]] = list(SUPPORT_VIEWS)
+
+
+def build_cq_catalog(fy: int = DEFAULT_FY) -> dict[str, str]:
+    return {k: render_fy(v, fy) for k, v in _CQ_TEMPLATES.items()}
+
+
+def build_support_views(fy: int = DEFAULT_FY) -> list[tuple[str, str]]:
+    return [(n, render_fy(s, fy)) for n, s in _SUPPORT_TEMPLATES]
+
+
+CQ_CATALOG = build_cq_catalog(DEFAULT_FY)
+SUPPORT_VIEWS = build_support_views(DEFAULT_FY)
+
+
 def base_tables(spark: SparkSession, observations: DataFrame,
                 companies: DataFrame, benchmarks: DataFrame,
                 rankings: DataFrame) -> dict[str, DataFrame]:
@@ -1198,16 +1255,18 @@ def base_tables(spark: SparkSession, observations: DataFrame,
 
 def register_cq_catalog(spark: SparkSession, observations: DataFrame,
                         companies: DataFrame, benchmarks: DataFrame,
-                        rankings: DataFrame) -> None:
-    """Create every base + support temp view; after this, each catalog
-    entry runs as spark.sql(CQ_CATALOG[name])."""
+                        rankings: DataFrame,
+                        fy: int = DEFAULT_FY) -> None:
+    """Create every base + support temp view for the given fiscal year;
+    after this, each catalog entry runs as
+    spark.sql(build_cq_catalog(fy)[name])."""
     for name, df in base_tables(
         spark, observations, companies, benchmarks, rankings
     ).items():
         df.createOrReplaceTempView(name)
-    for name, sql in SUPPORT_VIEWS:
+    for name, sql in build_support_views(fy):
         spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
 
 
-def run_cq(spark: SparkSession, name: str) -> DataFrame:
-    return spark.sql(CQ_CATALOG[name])
+def run_cq(spark: SparkSession, name: str, fy: int = DEFAULT_FY) -> DataFrame:
+    return spark.sql(build_cq_catalog(fy)[name])

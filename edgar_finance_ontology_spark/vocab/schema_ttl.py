@@ -19,6 +19,11 @@ from .metrics import BASE_METRICS, DERIVED_METRICS
 
 ONTOLOGY_IRI = "https://w3id.org/edgar-fin/2024#"
 
+# FIBO Business Entities module IRI — the reference's interop target
+# (efin_schema.ttl:7,23,36-40 declares the prefix, owl:imports it, and
+# subclasses efin:Company under fibo-be:LegalEntity).
+FIBO_BE_IRI = "https://spec.edmcouncil.org/fibo/ontology/BE/"
+
 # Ratio/margin-shaped derived metrics (DerivedRatio subclass); the
 # remaining derived metrics (absolute-value derivations) stay directly
 # under DerivedMetric. Mirrors efin_schema.ttl:322-504.
@@ -132,7 +137,14 @@ _DATATYPE_PROPERTIES = [
 ]
 
 _CORE_CLASSES = [
-    ("Company", None, "A legal entity filing financial reports."),
+    # FIBO-BE interop axiom: efin:Company subClassOf fibo-be:LegalEntity
+    # (mirrors /root/reference/ontology/efin_schema.ttl:36-40; the
+    # header owl:imports the FIBO-BE module and write_fibo_be_module
+    # ships a minimal resolvable target alongside the schema)
+    ("Company", "fibo-be:LegalEntity",
+     "A legal entity filing financial reports. Subclasses FIBO-BE "
+     "LegalEntity for interoperability with standard finance "
+     "ontologies."),
     ("Sector", None, "Sector classification (CamelCase IRI instances)."),
     ("Industry", None, "Industry classification; linked to its sector via inSectorOf."),
     ("Metric", None, "Abstract financial metric concept."),
@@ -173,13 +185,15 @@ def schema_ttl() -> str:
         "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .",
         "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .",
         "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .",
+        f"@prefix fibo-be: <{FIBO_BE_IRI}> .",
         "",
         f"<{ONTOLOGY_IRI}>",
         "  a owl:Ontology ;",
         '  rdfs:label "EDGAR Finance Ontology (EFIN) — schema"@en ;',
         '  rdfs:comment "Generated by '
         'edgar_finance_ontology_spark.vocab.schema_ttl from the engine '
-        'vocabulary tables."@en .',
+        'vocabulary tables."@en ;',
+        f"  owl:imports <{FIBO_BE_IRI}> .",
         "",
     ]
     for name, parent, comment in _CORE_CLASSES:
@@ -253,7 +267,43 @@ def schema_ttl() -> str:
     return "\n".join(lines)
 
 
+def fibo_be_min_ttl() -> str:
+    """A minimal, self-authored FIBO-BE module so the schema's
+    owl:imports target resolves offline: it declares the one class the
+    interop axiom needs (fibo-be:LegalEntity) under the module IRI the
+    reference imports. FIBO itself is published by the EDM Council
+    under MIT; this stub only restates the class IRI + label, it does
+    not vendor their text."""
+    return "\n".join([
+        f"@prefix fibo-be: <{FIBO_BE_IRI}> .",
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .",
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .",
+        "",
+        f"<{FIBO_BE_IRI}>",
+        "  a owl:Ontology ;",
+        '  rdfs:label "FIBO Business Entities (minimal interop module)"'
+        "@en ;",
+        '  rdfs:comment "Minimal offline stand-in for the EDM Council '
+        "FIBO-BE module: declares the LegalEntity class the EFIN schema"
+        ' subclasses. Replace with the full FIBO-BE release for complete'
+        ' semantics."@en .',
+        "",
+        "fibo-be:LegalEntity",
+        "  a owl:Class ;",
+        '  rdfs:label "LegalEntity"@en ;',
+        '  rdfs:comment "Any natural person or organization capable of'
+        ' accruing liability on its own part."@en .',
+        "",
+    ])
+
+
 def write_schema(path: str) -> str:
     with open(path, "w") as f:
         f.write(schema_ttl())
+    return path
+
+
+def write_fibo_be_module(path: str) -> str:
+    with open(path, "w") as f:
+        f.write(fibo_be_min_ttl())
     return path

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 
@@ -90,10 +91,15 @@ def main():
         f.write(ttl)
 
     # the schema document the instances owl:import — shipped alongside
-    # so the emitted graph loads standalone in any RDF store
-    from edgar_finance_ontology_spark.vocab.schema_ttl import write_schema
+    # so the emitted graph loads standalone in any RDF store, plus the
+    # minimal FIBO-BE module the schema's own owl:imports resolves to
+    from edgar_finance_ontology_spark.vocab.schema_ttl import (
+        write_fibo_be_module, write_schema,
+    )
 
     write_schema(f"{args.out}/efin_schema.ttl")
+    os.makedirs(f"{args.out}/imports", exist_ok=True)
+    write_fibo_be_module(f"{args.out}/imports/fibo-be.ttl")
 
     meta = {"fy": args.fy, "n_triples": n,
             "wall_sec": round(time.monotonic() - t0, 3)}

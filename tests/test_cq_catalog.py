@@ -11,31 +11,48 @@ from oracle_harness import normalize
 
 
 @pytest.fixture(scope="module")
-def cq_setup(spark, engine_inputs):
-    from edgar_finance_ontology_spark.plans.cq_catalog import (
-        SUPPORT_VIEWS, base_tables, register_cq_catalog,
-    )
+def cq_data(spark, engine_inputs):
+    """Heavy pipeline work once; both fiscal years' engine tables."""
     from edgar_finance_ontology_spark.plans.pipeline import run_pipeline
 
     facts, companies = engine_inputs
     t24 = run_pipeline(facts, companies, fy=2024)
     t23 = run_pipeline(facts, companies, fy=2023)
-    observations = t24["observations"].unionByName(t23["observations"])
+    observations = t24["observations"].unionByName(
+        t23["observations"]
+    ).localCheckpoint(eager=True)
+    return {"companies": companies, "observations": observations,
+            2024: t24, 2023: t23}
+
+
+@pytest.fixture(scope="module", params=[2024, 2023])
+def cq_setup(request, spark, cq_data):
+    """Both engines registered for ONE fiscal year — the whole catalog
+    is parameterized by fy (round-2 verdict item 6), so the full
+    dual-engine sweep runs at 2024 AND 2023."""
+    from edgar_finance_ontology_spark.plans.cq_catalog import (
+        base_tables, build_support_views, register_cq_catalog,
+    )
+
+    fy = request.param
+    t = cq_data[fy]
+    observations, companies = cq_data["observations"], cq_data["companies"]
     register_cq_catalog(
-        spark, observations, companies, t24["benchmarks"], t24["rankings"]
+        spark, observations, companies, t["benchmarks"], t["rankings"],
+        fy=fy,
     )
     con = duckdb.connect()
     for name, df in base_tables(
-        spark, observations, companies, t24["benchmarks"], t24["rankings"]
+        spark, observations, companies, t["benchmarks"], t["rankings"]
     ).items():
         pdf = df.toPandas()
         con.register(f"{name}__pdf", pdf)
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM {name}__pdf"
         )
-    for name, sql in SUPPORT_VIEWS:
+    for name, sql in build_support_views(fy):
         con.execute(f"CREATE OR REPLACE VIEW {name} AS {sql}")
-    yield spark, con
+    yield spark, con, fy
     con.close()
 
 
@@ -47,14 +64,17 @@ def _names():
 
 @pytest.mark.parametrize("name", _names())
 def test_cq_dual_engine_equal(cq_setup, name):
-    from edgar_finance_ontology_spark.plans.cq_catalog import CQ_CATALOG
+    from edgar_finance_ontology_spark.plans.cq_catalog import (
+        build_cq_catalog,
+    )
 
-    spark, con = cq_setup
-    sql = CQ_CATALOG[name]
+    spark, con, fy = cq_setup
+    sql = build_cq_catalog(fy)[name]
+    assert "__FY" not in sql  # every year token rendered
     ours = normalize(spark.sql(sql).toPandas())
     ref = normalize(con.execute(sql).fetchdf())
-    assert len(ours) == len(ref), (name, len(ours), len(ref))
-    assert ours == ref, (name, next(
+    assert len(ours) == len(ref), (name, fy, len(ours), len(ref))
+    assert ours == ref, (name, fy, next(
         ((a, b) for a, b in zip(ours, ref) if a != b), None
     ))
 
@@ -107,7 +127,10 @@ EXPECTED_NONEMPTY = [
 def test_expected_cqs_nonempty(cq_setup):
     from edgar_finance_ontology_spark.plans.cq_catalog import CQ_CATALOG
 
-    spark, _ = cq_setup
+    spark, _, fy = cq_setup
+    if fy != 2024:
+        # the panel generates fy-1 data only for 2024's trend/delta CQs
+        pytest.skip("non-emptiness asserted at the panel's focal year")
     empty = [
         n for n in EXPECTED_NONEMPTY
         if spark.sql(CQ_CATALOG[n]).limit(1).count() == 0
@@ -137,7 +160,9 @@ def test_known_values_spot_check(cq_setup):
         BASE_METRICS, DERIVED_METRICS,
     )
 
-    spark, _ = cq_setup
+    spark, _, fy = cq_setup
+    if fy != 2024:
+        pytest.skip("spot values asserted at the panel's focal year")
     labels = [r["label"] for r in spark.sql(
         CQ_CATALOG["cq_rsn_all_metrics"]).collect()]
     assert labels == sorted(set(BASE_METRICS) | set(DERIVED_METRICS))

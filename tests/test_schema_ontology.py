@@ -101,3 +101,44 @@ def test_schema_parses_with_rdflib_when_available():
     g = rdflib.Graph()
     g.parse(data=schema_ttl(), format="turtle")
     assert len(g) > 300
+
+
+def test_schema_declares_fibo_alignment():
+    """The interop axiom the reference ships (efin_schema.ttl:36-40):
+    efin:Company subclasses fibo-be:LegalEntity, the fibo-be prefix is
+    declared, the FIBO-BE module is owl:imported, and the generated
+    minimal module actually defines the target class."""
+    from edgar_finance_ontology_spark.vocab.schema_ttl import (
+        FIBO_BE_IRI, fibo_be_min_ttl, schema_ttl,
+    )
+
+    ttl = schema_ttl()
+    assert f"@prefix fibo-be: <{FIBO_BE_IRI}> ." in ttl
+    assert f"owl:imports <{FIBO_BE_IRI}> ." in ttl
+    company = ttl.split("efin:Company\n", 1)[1].split("\n\n", 1)[0]
+    assert "rdfs:subClassOf fibo-be:LegalEntity ;" in company
+
+    mod = fibo_be_min_ttl()
+    assert f"<{FIBO_BE_IRI}>" in mod
+    assert "fibo-be:LegalEntity" in mod
+    assert "a owl:Class ;" in mod
+
+
+def test_schema_and_fibo_module_parse_with_rdflib_when_available():
+    try:
+        import rdflib
+    except ImportError:
+        import pytest
+
+        pytest.skip("rdflib not installed in this container")
+    from edgar_finance_ontology_spark.vocab.schema_ttl import (
+        FIBO_BE_IRI, fibo_be_min_ttl, schema_ttl,
+    )
+
+    g = rdflib.Graph()
+    g.parse(data=schema_ttl(), format="turtle")
+    g.parse(data=fibo_be_min_ttl(), format="turtle")
+    company = rdflib.URIRef("https://w3id.org/edgar-fin/2024#Company")
+    legal = rdflib.URIRef(FIBO_BE_IRI + "LegalEntity")
+    assert (company, rdflib.RDFS.subClassOf, legal) in g
+    assert (legal, rdflib.RDF.type, rdflib.OWL.Class) in g
