@@ -159,11 +159,16 @@ def compute_benchmarks(
         )
 
         # oversized industry groups: exact distributed path on the
-        # composite (industry, metric) key — same numbers, no list
+        # composite (industry, metric) key — same numbers, no list.
+        # Delimiter is the ASCII unit separator \x1f, NOT \x00: pandas
+        # 2.x groupby hashes object strings with C-string semantics and
+        # silently merges keys that agree up to the first null byte
+        # (caught by exact_group_stats' count assert; regression test
+        # test_big_industry_branch_through_run_pipeline).
         if max_n is not None and max_n > max_list_group:
             big_rows = rows.join(big_keys, ["industry", "metric"],
                                  "left_semi")
-            key = F.concat_ws("\x00", "industry", "metric")
+            key = F.concat_ws("\x1f", "industry", "metric")
             big_pdf = exact_group_stats(
                 big_rows.withColumn("_k", key), "_k", "value", min_n=2
             )
@@ -173,7 +178,7 @@ def compute_benchmarks(
             }
             big_out = []
             for r in big_pdf.to_dict("records"):
-                ind, met = r["group"].split("\x00", 1)
+                ind, met = r["group"].split("\x1f", 1)
                 big_out.append(
                     (ind, sec_map.get(ind, ""), met, fy, r["average"],
                      r["median"], r["max"], r["min"], r["p25"], r["p75"],

