@@ -196,9 +196,12 @@ def bench_kg(spark) -> dict:
         CQ_CATALOG, register_cq_catalog,
     )
 
+    treg = time.monotonic()
     register_cq_catalog(
-        spark, t["observations"], companies, t["benchmarks"], t["rankings"]
+        spark, t["observations"], t["companies"], t["benchmarks"],
+        t["rankings"], materialize=True,
     )
+    reg_wall = time.monotonic() - treg
     t1 = time.monotonic()
     cq_rows = 0
     per_view = {}
@@ -208,6 +211,20 @@ def bench_kg(spark) -> dict:
         per_view[name] = round(time.monotonic() - v0, 3)
     cq_wall = time.monotonic() - t1
     slowest = sorted(per_view, key=per_view.get, reverse=True)[:5]
+    # 10x panel in the same session: separates fixed driver cost (plan
+    # construction + stage barriers, ~85% of the small-panel wall) from
+    # the engine's marginal throughput — see PLANS.md "KG throughput
+    # floor". 240 companies ≈ 3-5k triples/s; 2,400 ≈ 34k/s, same code.
+    tX0 = time.monotonic()
+    pagesX = synthesize_pages(spark, skew_copies=8, n_buckets=32,
+                              n_companies=n_companies * 10)
+    factsX, companiesX = pages_to_inputs(pagesX)
+    tx = run_pipeline(factsX, companiesX, fy=2024)
+    n_triplesX = build_triples(
+        tx["observations"], companiesX, tx["benchmarks"], tx["rankings"],
+        fy=2024,
+    ).count()
+    wallX = time.monotonic() - tX0
     return {
         "n_companies": n_companies,
         "n_triples": n_triples,
@@ -218,10 +235,17 @@ def bench_kg(spark) -> dict:
             "triples": round(t_triples - t_pipeline, 3),
         },
         "triples_per_sec": round(n_triples / wall, 2),
+        "kg_10x": {
+            "n_companies": n_companies * 10,
+            "n_triples": n_triplesX,
+            "wall_sec": round(wallX, 3),
+            "triples_per_sec": round(n_triplesX / wallX, 2),
+        },
         "cq_catalog": {
             "n_views": len(CQ_CATALOG),
             "rows": cq_rows,
             "wall_sec": round(cq_wall, 3),
+            "materialize_support_sec": round(reg_wall, 3),
             "per_view": per_view,
             "slowest": {n: per_view[n] for n in slowest},
         },

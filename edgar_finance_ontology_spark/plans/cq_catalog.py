@@ -1256,16 +1256,30 @@ def base_tables(spark: SparkSession, observations: DataFrame,
 def register_cq_catalog(spark: SparkSession, observations: DataFrame,
                         companies: DataFrame, benchmarks: DataFrame,
                         rankings: DataFrame,
-                        fy: int = DEFAULT_FY) -> None:
+                        fy: int = DEFAULT_FY,
+                        materialize: bool = False) -> None:
     """Create every base + support temp view for the given fiscal year;
     after this, each catalog entry runs as
-    spark.sql(build_cq_catalog(fy)[name])."""
+    spark.sql(build_cq_catalog(fy)[name]).
+
+    `materialize=True` eagerly computes each support view ONCE and
+    registers the materialized result instead of the SQL view — a plain
+    view re-executes its whole body for every consumer, and the
+    leader-class CQs each join efin_leader_classes (itself windows over
+    the full rankings table) up to three times. Use it when the catalog
+    is queried repeatedly over the same snapshot; dual-engine tests use
+    the plain-view form so the identical SQL runs in DuckDB."""
     for name, df in base_tables(
         spark, observations, companies, benchmarks, rankings
     ).items():
         df.createOrReplaceTempView(name)
     for name, sql in build_support_views(fy):
-        spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
+        if materialize:
+            df = spark.sql(sql).cache()
+            df.count()  # eager: later consumers hit the cached result
+            df.createOrReplaceTempView(name)
+        else:
+            spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
 
 
 def run_cq(spark: SparkSession, name: str, fy: int = DEFAULT_FY) -> DataFrame:
