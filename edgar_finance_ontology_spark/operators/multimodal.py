@@ -12,9 +12,25 @@ Decode tiers (image_metadata(decoder=...)):
     raises a clear error when absent);
   * "auto"   — pil if importable, else header;
   * "stub"   — the round-1 deterministic md5 fake, kept for fixtures.
-Pixel-level kernels (frame sampling, feature embedding) remain
-deterministic fakes in this container — clearly marked — while the
-Spark-side schemas, batching, and UDF signatures are real and tested.
+
+Video (sample_frames(decoder=...)):
+  * "mp4"   — REAL keyframe sampling without any codec: the ISO-BMFF
+    sample tables (stss sync samples + stsc/stsz/stco byte layout) are
+    parsed with the stdlib and each keyframe's ACTUAL coded bytes are
+    located and fingerprinted. Pixel decode of those samples is what
+    needs a codec, not finding them;
+  * "pyav"  — full keyframe decode when PyAV is installed
+    (import-gated);
+  * "stub"  — byte-stride pseudo-frames, kept for fixtures.
+
+Audio: audio_metadata (REAL RIFF/WAVE parse via the stdlib `wave`
+module) and audio_features (REAL DSP — per-window RMS, zero-crossing
+rate, FFT spectral centroid over the PCM samples with numpy).
+
+Feature embedding (feature_embed(encoder=...)): "stub" is the
+deterministic md5 fake (fixture); "onnx"/"torch" are import-gated
+real-encoder hooks that raise a clear error when the runtime is
+absent from the container.
 """
 
 from __future__ import annotations
@@ -152,42 +168,410 @@ def image_metadata(df: DataFrame, key_col: str, bin_col: str,
     return df.select(key_col, bin_col).mapInPandas(run, IMAGE_META_SCHEMA)
 
 
+def _walk_mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) at one nesting
+    level of an ISO-BMFF byte range."""
+    import struct as _s
+
+    i = start
+    while i + 8 <= end:
+        size = _s.unpack(">I", b[i:i + 4])[0]
+        typ = b[i + 4:i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = _s.unpack(">Q", b[i + 8:i + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield typ, i + hdr, i + size
+        i += size
+
+
+def _find_mp4_box(b: bytes, path: list[bytes], start: int = 0,
+                  end: int | None = None):
+    """Payload range of the first box at the given container path."""
+    if end is None:
+        end = len(b)
+    typ, rest = path[0], path[1:]
+    for t, ps, pe in _walk_mp4_boxes(b, start, end):
+        if t == typ:
+            if not rest:
+                return ps, pe
+            return _find_mp4_box(b, rest, ps, pe)
+    return None
+
+
+def parse_mp4_sample_table(b: bytes) -> dict | None:
+    """REAL ISO-BMFF parse (stdlib only): movie duration plus the first
+    video-ish track's sample layout — sync-sample (keyframe) numbers
+    from `stss`, and each sample's absolute byte range composed from
+    `stsc` (sample->chunk) x `stsz` (sizes) x `stco`/`co64` (chunk
+    offsets). Locating keyframe BYTES needs no codec; only pixel decode
+    does. Returns None for non-MP4 payloads."""
+    import struct as _s
+
+    if len(b) < 16:
+        return None
+    head = list(_walk_mp4_boxes(b, 0, len(b)))
+    if not head or head[0][0] != b"ftyp":
+        return None
+    moov = _find_mp4_box(b, [b"moov"])
+    if moov is None:
+        return None
+    out: dict = {"timescale": None, "duration": None, "duration_sec": None,
+                 "sync_samples": [], "sample_ranges": []}
+    mvhd = _find_mp4_box(b, [b"mvhd"], *moov)
+    if mvhd is not None:
+        ps, _pe = mvhd
+        version = b[ps]
+        if version == 1:
+            ts = _s.unpack(">I", b[ps + 20:ps + 24])[0]
+            dur = _s.unpack(">Q", b[ps + 24:ps + 32])[0]
+        else:
+            ts = _s.unpack(">I", b[ps + 12:ps + 16])[0]
+            dur = _s.unpack(">I", b[ps + 16:ps + 20])[0]
+        out["timescale"], out["duration"] = ts, dur
+        out["duration_sec"] = (dur / ts) if ts else None
+    stbl = _find_mp4_box(
+        b, [b"trak", b"mdia", b"minf", b"stbl"], *moov
+    )
+    if stbl is None:
+        return out
+    boxes = {t: (ps, pe) for t, ps, pe in _walk_mp4_boxes(b, *stbl)}
+
+    def full(t):  # fullbox payload after version+flags
+        if t not in boxes:
+            return None
+        ps, pe = boxes[t]
+        return ps + 4, pe
+
+    # sample sizes
+    sizes: list[int] = []
+    rng = full(b"stsz")
+    if rng:
+        ps, _pe = rng
+        fixed, count = _s.unpack(">II", b[ps:ps + 8])
+        sizes = ([fixed] * count if fixed else [
+            _s.unpack(">I", b[ps + 8 + 4 * i:ps + 12 + 4 * i])[0]
+            for i in range(count)
+        ])
+    # chunk offsets
+    offsets: list[int] = []
+    rng = full(b"stco") or full(b"co64")
+    if rng:
+        wide = b"co64" in boxes
+        ps, _pe = rng
+        n = _s.unpack(">I", b[ps:ps + 4])[0]
+        w, fmtc = (8, ">Q") if wide else (4, ">I")
+        offsets = [
+            _s.unpack(fmtc, b[ps + 4 + w * i:ps + 4 + w * (i + 1)])[0]
+            for i in range(n)
+        ]
+    # sample -> chunk mapping
+    stsc: list[tuple[int, int]] = []
+    rng = full(b"stsc")
+    if rng:
+        ps, _pe = rng
+        n = _s.unpack(">I", b[ps:ps + 4])[0]
+        for i in range(n):
+            first, per, _desc = _s.unpack(
+                ">III", b[ps + 4 + 12 * i:ps + 16 + 12 * i]
+            )
+            stsc.append((first, per))
+    # compose absolute (offset, size) per sample
+    ranges: list[tuple[int, int]] = []
+    if sizes and offsets and stsc:
+        si = 0
+        for ci, chunk_off in enumerate(offsets, start=1):
+            per = 0
+            for first, p in stsc:
+                if first <= ci:
+                    per = p
+            pos = chunk_off
+            for _ in range(per):
+                if si >= len(sizes):
+                    break
+                ranges.append((pos, sizes[si]))
+                pos += sizes[si]
+                si += 1
+    out["sample_ranges"] = ranges
+    # sync samples (1-based); absent stss => every sample is a keyframe
+    rng = full(b"stss")
+    if rng:
+        ps, _pe = rng
+        n = _s.unpack(">I", b[ps:ps + 4])[0]
+        out["sync_samples"] = [
+            _s.unpack(">I", b[ps + 4 + 4 * i:ps + 8 + 4 * i])[0]
+            for i in range(n)
+        ]
+    else:
+        out["sync_samples"] = list(range(1, len(ranges) + 1))
+    return out
+
+
+MP4_FRAME_SCHEMA = StructType([
+    StructField("key", StringType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("sample_offset", LongType(), True),
+    StructField("n_bytes", LongType(), True),
+    StructField("frame_md5", StringType(), False),
+])
+
+
+def _sample_frames_pyav(payload: bytes, max_frames: int):
+    """Full keyframe pixel decode via PyAV (import-gated extra)."""
+    try:
+        import io
+
+        import av
+    except ImportError as e:
+        raise NotImplementedError(
+            "decoder='pyav' requires PyAV; install the multimodal extra "
+            "or use decoder='mp4' (stdlib sample-table keyframe "
+            "extraction, no pixel decode)"
+        ) from e
+    rows = []
+    with av.open(io.BytesIO(payload)) as container:
+        stream = container.streams.video[0]
+        stream.codec_context.skip_frame = "NONKEY"
+        for i, frame in enumerate(container.decode(stream)):
+            if i >= max_frames:
+                break
+            rows.append((i, None, None,
+                         hashlib.md5(frame.planes[0]).hexdigest()))
+    return rows
+
+
 def sample_frames(df: DataFrame, key_col: str, bin_col: str,
-                  every_n_bytes: int = 4096, max_frames: int = 8) -> DataFrame:
-    """'Video' frame sampling stub: one pseudo-frame per byte stride
-    (real impl: pyav keyframe extraction); shows the 1->N mapInPandas
-    fan-out shape."""
+                  every_n_bytes: int = 4096, max_frames: int = 8,
+                  decoder: str = "stub") -> DataFrame:
+    """1->N frame sampling over a binary 'video' column (mapInPandas).
+
+    decoder="mp4": REAL keyframe extraction — parse the container's
+    sample tables, take the first `max_frames` sync samples, and
+    fingerprint each keyframe's actual coded bytes (offset + size
+    reported). decoder="pyav": full pixel decode, import-gated.
+    decoder="stub": the byte-stride fixture."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ([f.name for f in MP4_FRAME_SCHEMA] if decoder != "stub"
+                else [f.name for f in FRAME_SAMPLE_SCHEMA])
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf[key_col], pdf[bin_col]):
+                blob = bytes(payload) if payload is not None else b""
+                if decoder == "stub":
+                    n = min(max_frames, max(1, len(blob) // every_n_bytes))
+                    for i in range(n):
+                        chunk = blob[i * every_n_bytes:(i + 1) * every_n_bytes]
+                        rows.append({
+                            "key": str(key), "frame_idx": i,
+                            "frame_md5": hashlib.md5(chunk).hexdigest(),
+                        })
+                elif decoder == "mp4":
+                    st = parse_mp4_sample_table(blob)
+                    if not st or not st["sample_ranges"]:
+                        continue
+                    for i, sn in enumerate(st["sync_samples"][:max_frames]):
+                        if not 1 <= sn <= len(st["sample_ranges"]):
+                            continue
+                        off, size = st["sample_ranges"][sn - 1]
+                        chunk = blob[off:off + size]
+                        rows.append({
+                            "key": str(key), "frame_idx": int(sn),
+                            "sample_offset": int(off), "n_bytes": int(size),
+                            "frame_md5": hashlib.md5(chunk).hexdigest(),
+                        })
+                elif decoder == "pyav":
+                    for i, off, size, md5 in _sample_frames_pyav(
+                        blob, max_frames
+                    ):
+                        rows.append({
+                            "key": str(key), "frame_idx": i,
+                            "sample_offset": off, "n_bytes": size,
+                            "frame_md5": md5,
+                        })
+                else:
+                    raise ValueError(f"unknown decoder {decoder!r}")
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = FRAME_SAMPLE_SCHEMA if decoder == "stub" else MP4_FRAME_SCHEMA
+    return df.select(key_col, bin_col).mapInPandas(run, schema)
+
+
+AUDIO_META_SCHEMA = StructType([
+    StructField("key", StringType(), False),
+    StructField("n_bytes", LongType(), False),
+    StructField("format", StringType(), True),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("channels", IntegerType(), True),
+    StructField("sample_width", IntegerType(), True),
+    StructField("n_frames", LongType(), True),
+    StructField("duration_sec", DoubleType(), True),
+])
+
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("key", StringType(), False),
+    StructField("rms", DoubleType(), True),
+    StructField("zero_crossing_rate", DoubleType(), True),
+    StructField("spectral_centroid_hz", DoubleType(), True),
+    StructField("window_rms", ArrayType(DoubleType()), True),
+])
+
+
+def parse_wav(payload: bytes):
+    """REAL RIFF/WAVE parse via the stdlib `wave` module ->
+    (sample_rate, channels, sample_width_bytes, n_frames, pcm_bytes),
+    or None for non-WAV / unreadable payloads."""
+    import io
+    import wave
+
+    b = payload or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            return (w.getframerate(), w.getnchannels(), w.getsampwidth(),
+                    w.getnframes(), w.readframes(w.getnframes()))
+    except wave.Error:
+        return None
+
+
+def audio_metadata(df: DataFrame, key_col: str, bin_col: str) -> DataFrame:
+    """binary -> REAL audio container metadata (stdlib wave parse)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for key, payload in zip(pdf[key_col], pdf[bin_col]):
                 blob = bytes(payload) if payload is not None else b""
-                n = min(max_frames, max(1, len(blob) // every_n_bytes))
-                for i in range(n):
-                    chunk = blob[i * every_n_bytes:(i + 1) * every_n_bytes]
+                parsed = parse_wav(blob)
+                if parsed is None:
                     rows.append({
-                        "key": str(key), "frame_idx": i,
-                        "frame_md5": hashlib.md5(chunk).hexdigest(),
+                        "key": str(key), "n_bytes": len(blob),
+                        "format": None, "sample_rate": None,
+                        "channels": None, "sample_width": None,
+                        "n_frames": None, "duration_sec": None,
                     })
-            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA])
+                else:
+                    rate, ch, width, n, _pcm = parsed
+                    rows.append({
+                        "key": str(key), "n_bytes": len(blob),
+                        "format": "wav", "sample_rate": rate,
+                        "channels": ch, "sample_width": width,
+                        "n_frames": n,
+                        "duration_sec": (n / rate) if rate else None,
+                    })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_META_SCHEMA]
+            )
 
-    return df.select(key_col, bin_col).mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+    return df.select(key_col, bin_col).mapInPandas(run, AUDIO_META_SCHEMA)
+
+
+def audio_features(df: DataFrame, key_col: str, bin_col: str,
+                   n_windows: int = 8) -> DataFrame:
+    """REAL audio DSP over the decoded PCM (numpy, no external codec):
+    global RMS, zero-crossing rate, FFT spectral centroid, and
+    per-window RMS envelope — the standard cheap features a
+    training-data pipeline gates audio quality on. Non-WAV payloads
+    yield null features (plumbing rows survive)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf[key_col], pdf[bin_col]):
+                blob = bytes(payload) if payload is not None else b""
+                parsed = parse_wav(blob)
+                if parsed is None or parsed[2] != 2 or parsed[3] == 0:
+                    rows.append({"key": str(key), "rms": None,
+                                 "zero_crossing_rate": None,
+                                 "spectral_centroid_hz": None,
+                                 "window_rms": None})
+                    continue
+                rate, ch, _w, _n, pcm = parsed
+                x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+                if ch > 1:  # mixdown
+                    x = x[: len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
+                x /= 32768.0
+                rms = float(np.sqrt(np.mean(x * x)))
+                zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) \
+                    if len(x) > 1 else 0.0
+                spec = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)
+                denom = float(spec.sum())
+                centroid = float((freqs * spec).sum() / denom) if denom else 0.0
+                win = np.array_split(x, n_windows)
+                wrms = [float(np.sqrt(np.mean(w * w))) if len(w) else 0.0
+                        for w in win]
+                rows.append({"key": str(key), "rms": rms,
+                             "zero_crossing_rate": zcr,
+                             "spectral_centroid_hz": centroid,
+                             "window_rms": wrms})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA]
+            )
+
+    return df.select(key_col, bin_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def _embed_onnx(payloads, dim):
+    try:
+        import onnxruntime  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "encoder='onnx' requires onnxruntime; install the multimodal "
+            "extra or use encoder='stub' (deterministic fixture)"
+        ) from e
+    raise NotImplementedError(
+        "encoder='onnx' needs a model path wired via feature_embed's "
+        "caller; see operators/multimodal.py"
+    )
+
+
+def _embed_torch(payloads, dim):
+    try:
+        import torch  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "encoder='torch' requires torch; install the multimodal "
+            "extra or use encoder='stub' (deterministic fixture)"
+        ) from e
+    raise NotImplementedError(
+        "encoder='torch' needs a model wired via feature_embed's caller"
+    )
 
 
 def feature_embed(df: DataFrame, key_col: str, bin_col: str,
-                  dim: int = 8) -> DataFrame:
-    """Deterministic fake feature extractor (md5-chunk floats in
-    [0, 1)); real impl: a vision/audio encoder via Arrow batches."""
+                  dim: int = 8, encoder: str = "stub") -> DataFrame:
+    """Binary -> fixed-dim feature vector (mapInPandas, Arrow batches).
+
+    encoder="stub" is the deterministic md5 fixture (clearly fake —
+    kept so plumbing tests run in codec-less containers);
+    "onnx"/"torch" are the real-encoder hooks, import-gated with clear
+    errors when the runtime is absent. For AUDIO, prefer
+    audio_features — real DSP with no extra dependency."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for key, payload in zip(pdf[key_col], pdf[bin_col]):
                 blob = bytes(payload) if payload is not None else b""
-                h = hashlib.md5(blob).hexdigest()
-                vec = [int(h[i * 4:(i + 1) * 4], 16) / 65536.0
-                       for i in range(dim)]
+                if encoder == "stub":
+                    h = hashlib.md5(blob).hexdigest()
+                    vec = [int(h[i * 4:(i + 1) * 4], 16) / 65536.0
+                           for i in range(dim)]
+                elif encoder == "onnx":
+                    vec = _embed_onnx(blob, dim)
+                elif encoder == "torch":
+                    vec = _embed_torch(blob, dim)
+                else:
+                    raise ValueError(f"unknown encoder {encoder!r}")
                 rows.append({"key": str(key), "feature": vec})
             yield pd.DataFrame(rows, columns=["key", "feature"])
 

@@ -255,3 +255,192 @@ def test_stream_dedup_exact_across_microbatches(spark, tmp_path):
     ).collect()
     assert len(got) == 4
     assert all(r["n"] == 1 for r in got)
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _full(typ: bytes, body: bytes) -> bytes:
+    return _box(typ, b"\x00\x00\x00\x00" + body)
+
+
+def _minimal_mp4(samples: list[bytes], chunks: list[int],
+                 sync: list[int], timescale=1000, duration=5000) -> bytes:
+    """Hand-built ISO-BMFF file: ftyp + mdat(samples) + moov with a
+    real sample table (stsz/stsc/stco/stss). Public box layout per
+    ISO/IEC 14496-12."""
+    import struct
+
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_payload = b"".join(samples)
+    mdat_start = len(ftyp) + 8  # absolute offset of first chunk
+    mdat = _box(b"mdat", mdat_payload)
+
+    # chunk offsets from the chunk split (chunks = samples per chunk)
+    offs, pos, si = [], mdat_start, 0
+    for per in chunks:
+        offs.append(pos)
+        for _ in range(per):
+            pos += len(samples[si])
+            si += 1
+    stsz = _full(b"stsz", struct.pack(">II", 0, len(samples)) + b"".join(
+        struct.pack(">I", len(s)) for s in samples))
+    # stsc runs: compress consecutive equal samples-per-chunk
+    runs = []
+    for ci, per in enumerate(chunks, start=1):
+        if not runs or runs[-1][1] != per:
+            runs.append((ci, per))
+    stsc = _full(b"stsc", struct.pack(">I", len(runs)) + b"".join(
+        struct.pack(">III", first, per, 1) for first, per in runs))
+    stco = _full(b"stco", struct.pack(">I", len(offs)) + b"".join(
+        struct.pack(">I", o) for o in offs))
+    stss = _full(b"stss", struct.pack(">I", len(sync)) + b"".join(
+        struct.pack(">I", s) for s in sync))
+    stbl = _box(b"stbl", stsz + stsc + stco + stss)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", minf)
+    trak = _box(b"trak", mdia)
+    mvhd = _full(b"mvhd", struct.pack(">IIII", 0, 0, timescale, duration)
+                 + b"\x00" * 80)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def test_mp4_sample_table_parse_and_keyframe_bytes():
+    """REAL keyframe location: the parser must compose stsc x stsz x
+    stco into absolute byte ranges and pick exactly the stss samples."""
+    from edgar_finance_ontology_spark.operators.multimodal import (
+        parse_mp4_sample_table,
+    )
+
+    samples = [bytes([i]) * (10 * (i + 1)) for i in range(5)]  # 10..50B
+    blob = _minimal_mp4(samples, chunks=[3, 2], sync=[1, 4])
+    st = parse_mp4_sample_table(blob)
+    assert st is not None
+    assert st["duration_sec"] == 5.0
+    assert st["sync_samples"] == [1, 4]
+    assert len(st["sample_ranges"]) == 5
+    # every recorded range must slice back to the exact sample bytes
+    for (off, size), want in zip(st["sample_ranges"], samples):
+        assert blob[off:off + size] == want
+    assert parse_mp4_sample_table(b"\x00" * 64) is None
+
+
+def test_sample_frames_mp4_real_keyframes(spark):
+    import hashlib
+
+    from edgar_finance_ontology_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    samples = [bytes([i]) * (10 * (i + 1)) for i in range(5)]
+    blob = _minimal_mp4(samples, chunks=[3, 2], sync=[1, 4])
+    df = spark.createDataFrame([("v1", bytearray(blob)),
+                                ("junk", bytearray(b"notanmp4" * 4))],
+                               "key string, payload binary")
+    got = {(r["key"], r["frame_idx"]): r
+           for r in sample_frames(df, "key", "payload",
+                                  decoder="mp4").collect()}
+    # only the real MP4 emits frames; junk is dropped, not faked
+    assert set(got) == {("v1", 1), ("v1", 4)}
+    assert got[("v1", 1)]["frame_md5"] == hashlib.md5(samples[0]).hexdigest()
+    assert got[("v1", 4)]["frame_md5"] == hashlib.md5(samples[3]).hexdigest()
+    assert got[("v1", 4)]["n_bytes"] == len(samples[3])
+
+
+def _wav_bytes(freq=1000.0, rate=8000, seconds=1.0, amp=0.5, channels=1):
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(rate * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<" + "h" * channels,
+                        *([int(amp * 32767 * math.sin(2 * math.pi * freq
+                                                      * i / rate))]
+                          * channels))
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_audio_metadata_real_wav(spark):
+    from edgar_finance_ontology_spark.operators.multimodal import (
+        audio_metadata,
+    )
+
+    wav = _wav_bytes(rate=8000, seconds=0.5, channels=2)
+    df = spark.createDataFrame(
+        [("a1", bytearray(wav)), ("bad", bytearray(b"RIFFxxxx"))],
+        "key string, payload binary",
+    )
+    got = {r["key"]: r for r in audio_metadata(df, "key", "payload").collect()}
+    a = got["a1"]
+    assert (a["format"], a["sample_rate"], a["channels"],
+            a["sample_width"]) == ("wav", 8000, 2, 2)
+    assert a["n_frames"] == 4000 and abs(a["duration_sec"] - 0.5) < 1e-9
+    assert got["bad"]["format"] is None
+
+
+def test_audio_features_real_dsp(spark):
+    """A pure 1 kHz sine at 8 kHz: RMS = amp/sqrt(2), ZCR = 2f/rate,
+    spectral centroid ~ 1 kHz — real numpy DSP, no fakes."""
+    from edgar_finance_ontology_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    wav = _wav_bytes(freq=1000.0, rate=8000, seconds=1.0, amp=0.5)
+    df = spark.createDataFrame([("a1", bytearray(wav))],
+                               "key string, payload binary")
+    r = audio_features(df, "key", "payload", n_windows=4).collect()[0]
+    assert abs(r["rms"] - 0.5 / 2 ** 0.5) < 0.01
+    assert abs(r["zero_crossing_rate"] - 0.25) < 0.01
+    assert abs(r["spectral_centroid_hz"] - 1000.0) < 25.0
+    assert len(r["window_rms"]) == 4
+    assert all(abs(w - r["rms"]) < 0.02 for w in r["window_rms"])
+
+
+def test_pyav_and_encoder_gates(spark):
+    """Import-gated real kernels: run for real when the lib is present,
+    raise a CLEAR NotImplementedError when absent (never silently
+    fake)."""
+    import pytest
+
+    from edgar_finance_ontology_spark.operators.multimodal import (
+        feature_embed, sample_frames,
+    )
+
+    df = spark.createDataFrame([("k", bytearray(b"xx"))],
+                               "key string, payload binary")
+    try:
+        import av  # noqa: F401
+
+        have_av = True
+    except ImportError:
+        have_av = False
+    if not have_av:
+        with pytest.raises(Exception) as ei:
+            sample_frames(df, "key", "payload", decoder="pyav").collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError)
+    try:
+        import onnxruntime  # noqa: F401
+
+        have_onnx = True
+    except ImportError:
+        have_onnx = False
+    if not have_onnx:
+        with pytest.raises(Exception) as ei:
+            feature_embed(df, "key", "payload", encoder="onnx").collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError)
