@@ -396,15 +396,21 @@ def build_triples(
     needed; only the bounded dim families get a safety dropDuplicates
     (SectorAll could collide with a literal 'All' sector)."""
     parts = [company_triples(companies)]
+
+    def _has_all_market(df: DataFrame) -> bool:
+        # one partial-agg job instead of a limit(1).count() probe (the
+        # probe replays the frame's full lineage when it isn't cached)
+        flag = df.agg(F.max(
+            F.when((F.col("industry") == "") & (F.col("sector") == ""), 1)
+            .otherwise(0)
+        )).first()[0]
+        return flag == 1
+
     needs_all = False
     if benchmarks is not None:
-        needs_all = needs_all or benchmarks.where(
-            (F.col("industry") == "") & (F.col("sector") == "")
-        ).limit(1).count() > 0
+        needs_all = needs_all or _has_all_market(benchmarks)
     if rankings is not None:
-        needs_all = needs_all or rankings.where(
-            (F.col("industry") == "") & (F.col("sector") == "")
-        ).limit(1).count() > 0
+        needs_all = needs_all or _has_all_market(rankings)
     dims = entity_dim_triples(companies, needs_all).unionByName(
         instance_dim_triples(observations)
     ).dropDuplicates(["subj", "pred", "obj"])
