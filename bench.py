@@ -51,7 +51,8 @@ BENCH_QUERIES = [
     "lang_id", "quality_scores", "token_counts", "doc_fingerprints",
     "gazetteer_mentions", "doc_dup_clusters", "global_topk",
     "embedding_near_dup", "repetition_scores", "cross_source_overlap",
-    "pii_scrub_stats",
+    "pii_scrub_stats", "stratified_sample", "quality_funnel",
+    "pack_token_shards",
 ]
 
 

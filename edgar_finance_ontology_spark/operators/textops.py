@@ -258,3 +258,97 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.length(text_col) - F.length(f"{text_col}_scrubbed"), F.lit(0)
         ),
     )
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      strata_col: str = "source", id_col: str = "doc_id",
+                      default_rate: float = 1.0) -> DataFrame:
+    """Deterministic per-stratum down-sampling by hash thresholding:
+    keep a row iff the fractional position of md5(id) in hash space is
+    below its stratum's rate.
+
+    This is how a training-data pipeline rebalances over-represented
+    sources at 10^12 docs: unlike rand()-based sampleBy, the decision
+    is a pure function of the row key, so re-runs, retries, and
+    incremental appends sample the SAME documents (reproducible
+    corpora, no resample churn on speculative re-execution) — and the
+    DuckDB oracle can replay it exactly. Narrow, no shuffle."""
+    frac = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+               16, 10).cast("double") / float(0xFFFFFFFF + 1)
+    )
+    rate = F.lit(default_rate)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
+    return df.where(frac < rate)
+
+
+def quality_funnel(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", lang_col: str = "lang",
+                   allowed_langs: tuple = ("en",),
+                   min_chars: int = 50, max_chars: int = 1_000_000,
+                   max_dup_line_frac: float = 0.5) -> DataFrame:
+    """The classic corpus-cleaning funnel as ONE aggregation: for each
+    filter stage, how many documents survive all stages up to it
+    (ingested -> lang gate -> length gate -> dedup-line gate). The
+    per-stage counts are what a pipeline operator watches at 100 TB —
+    a stage that suddenly eats 40% of the corpus is a bug, not a
+    filter. Stage predicates are cumulative (funnel semantics), and
+    everything is column-native so the oracle replays it."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    n_distinct_lines = F.size(F.array_distinct(lines))
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - n_distinct_lines).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+    s1 = F.col(lang_col).isin(*allowed_langs)
+    s2 = s1 & (n_chars >= min_chars) & (n_chars <= max_chars)
+    s3 = s2 & (dup_line_frac <= max_dup_line_frac)
+    agg = df.agg(
+        F.count("*").alias("ingested"),
+        F.sum(s1.cast("long")).alias("after_lang_gate"),
+        F.sum(s2.cast("long")).alias("after_length_gate"),
+        F.sum(s3.cast("long")).alias("after_dup_line_gate"),
+    )
+    stages = ["ingested", "after_lang_gate", "after_length_gate",
+              "after_dup_line_gate"]
+    arr = F.array(*[
+        F.struct(F.lit(i).alias("stage_idx"), F.lit(s).alias("stage"),
+                 F.col(s).alias("n_docs"))
+        for i, s in enumerate(stages)
+    ])
+    return agg.select(F.explode(arr).alias("s")).select(
+        "s.stage_idx", "s.stage", "s.n_docs"
+    )
+
+
+def pack_token_shards(df: DataFrame, shard_tokens: int,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      order_col: str | None = None) -> DataFrame:
+    """Assign each document to a training shard so shards hold ~
+    `shard_tokens` whitespace tokens: shard_id = floor(running token
+    total / shard_tokens) over a deterministic document order.
+
+    Sequencing via ONE window cumulative sum (range-sort shuffle),
+    not a driver loop — this is the distributed form of the greedy
+    sequential packer, off by at most one document per boundary, which
+    is the accepted trade for 10^12-doc corpora. Deterministic order =
+    deterministic shards = resumable packing."""
+    from .dedup import tokens_col as _toks
+
+    from pyspark.sql import Window
+
+    order = F.col(order_col) if order_col else F.col(id_col)
+    n_tok = F.size(_toks(F.col(text_col)))
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(n_tok).over(w)
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_tok.cast("long").alias("n_tokens"),
+        cum.cast("long").alias("cum_tokens"),
+        F.floor((cum - 1).cast("double") / shard_tokens)
+        .cast("long").alias("shard_id"),
+    )

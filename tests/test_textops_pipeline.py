@@ -96,3 +96,85 @@ def test_cross_source_overlap_df_cap_bounds_pairs(spark):
     assert capped.count() == 0  # boiler grams dropped by the cap
     uncapped = cross_source_overlap(df, "test", max_df=None)
     assert uncapped.count() == 10  # every test doc matches
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    from pyspark.sql import functions as F
+
+    from edgar_finance_ontology_spark.operators.textops import (
+        stratified_sample,
+    )
+
+    rows = [(i, f"doc {i}", "en", "srcA" if i % 2 else "srcB", 10)
+            for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    kept1 = {r["doc_id"] for r in stratified_sample(
+        df, {"srcA": 0.2, "srcB": 0.8}).collect()}
+    kept2 = {r["doc_id"] for r in stratified_sample(
+        df, {"srcA": 0.2, "srcB": 0.8}).collect()}
+    # pure function of the key: identical corpus on re-run
+    assert kept1 == kept2
+    a = sum(1 for d in kept1 if d % 2 == 1)
+    b = sum(1 for d in kept1 if d % 2 == 0)
+    assert 0.12 < a / 1000 < 0.28   # ~20%
+    assert 0.72 < b / 1000 < 0.88   # ~80%
+    # no shuffle: the plan is a narrow filter
+    plan = stratified_sample(df, {"srcA": 0.2})._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_quality_funnel_monotone_and_counts(spark):
+    from edgar_finance_ontology_spark.operators.textops import quality_funnel
+
+    docs = [
+        (1, "the good document " * 10, "en", "s", 0),
+        (2, "zu kurz", "de", "s", 0),                  # fails length
+        (3, "x " * 100, "zh", "s", 0),                 # fails lang
+        (4, "dup\ndup\ndup\ndup\nuniq " + "y " * 50, "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = {r["stage"]: r["n_docs"] for r in quality_funnel(
+        df, allowed_langs=("en", "de"), min_chars=20,
+        max_dup_line_frac=0.5).collect()}
+    assert out["ingested"] == 4
+    assert out["after_lang_gate"] == 3         # drops zh
+    assert out["after_length_gate"] == 2       # drops the short de doc
+    assert out["after_dup_line_gate"] == 1     # drops the dup-line doc
+    vals = [out["ingested"], out["after_lang_gate"],
+            out["after_length_gate"], out["after_dup_line_gate"]]
+    assert vals == sorted(vals, reverse=True)  # funnel is monotone
+
+
+def test_pack_token_shards_budget_and_order(spark):
+    from edgar_finance_ontology_spark.operators.textops import (
+        pack_token_shards,
+    )
+
+    docs = [(i, " ".join(["w"] * (10 + i)), "en", "s", 0)
+            for i in range(20)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = sorted(
+        (r["id"], r["n_tokens"], r["cum_tokens"], r["shard_id"])
+        for r in pack_token_shards(df, shard_tokens=60).collect()
+    )
+    # cumulative total equals the running sum in id order
+    running = 0
+    for i, (doc, n, cum, shard) in enumerate(out):
+        assert doc == i and n == 10 + i
+        running += n
+        assert cum == running
+        assert shard == (cum - 1) // 60
+    # every shard except possibly the last overflows its budget by at
+    # most one document (greedy boundary semantics)
+    by_shard = {}
+    for _, n, _, s in out:
+        by_shard.setdefault(s, []).append(n)
+    for s, toks in sorted(by_shard.items())[:-1]:
+        assert sum(toks) >= 60 - max(toks)
