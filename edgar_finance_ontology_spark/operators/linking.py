@@ -110,3 +110,66 @@ def link_mentions(
         F.col("score").desc(), F.col("entity_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------
+# Pairwise predicate classification (north_star stage 4): given a pair
+# of linked entities co-occurring in a context window, pick the
+# ontology predicate the evidence supports — candidates come from the
+# property SCHEMA (domain/range type compatibility), lexical cues come
+# from the property names themselves (camelCase split), so the
+# classifier is entirely ontology-driven: extend the schema and the
+# classifier follows.
+# ---------------------------------------------------------------------
+
+def _camel_words(name: str) -> list[str]:
+    import re
+
+    return [w.lower() for w in re.findall(r"[A-Z]?[a-z]+|[A-Z]+(?![a-z])",
+                                          name) if len(w) > 1]
+
+
+def predicate_schema_df(spark):
+    """(pred, domain_class, range_class, triggers array<string>) from
+    the generated ontology's object-property table — the same rows
+    schema_ttl emits as owl:ObjectProperty declarations."""
+    from ..vocab.schema_ttl import _OBJECT_PROPERTIES
+
+    rows = [
+        (name, dom, rng, _camel_words(name))
+        for name, dom, rng, _comment in _OBJECT_PROPERTIES
+    ]
+    return spark.createDataFrame(
+        rows, "pred string, domain_class string, range_class string, "
+              "triggers array<string>"
+    )
+
+
+def classify_predicates(
+    pairs: DataFrame,   # (pair_id, subj_class, obj_class, evidence_text)
+    schema: DataFrame,  # predicate_schema_df(spark)
+    min_score: float = 0.0,
+) -> DataFrame:
+    """-> (pair_id, pred, score, rank): candidate predicates are the
+    schema rows whose domain/range match the pair's entity classes
+    (broadcast join — the property vocabulary is bounded); each
+    candidate scores by how many of its name-derived trigger words
+    appear in the evidence text, plus a tiny specificity prior (more
+    trigger words = more specific property) for deterministic
+    tie-breaks; rank 1 = best (ties -> pred name asc)."""
+    cand = pairs.join(
+        F.broadcast(schema),
+        (F.col("subj_class") == F.col("domain_class"))
+        & (F.col("obj_class") == F.col("range_class")),
+    )
+    ev_tokens = tokens_col(F.col("evidence_text"))
+    hits = F.size(F.array_intersect(ev_tokens, F.col("triggers")))
+    specificity = F.size(F.col("triggers")).cast("double") / 100.0
+    scored = cand.select(
+        "pair_id", "pred",
+        (hits.cast("double") + specificity).alias("score"),
+    ).where(F.col("score") > min_score)
+    w = Window.partitionBy("pair_id").orderBy(
+        F.col("score").desc(), F.col("pred").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w))

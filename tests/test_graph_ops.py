@@ -101,3 +101,50 @@ def test_doc_dup_clusters_vs_duckdb(spark):
     con = duck_connection("/root/testdata/sf0.001")
     r = compare(fn(spark, "/root/testdata/sf0.001"), con, sql)
     assert r["match"], r
+
+
+def test_predicate_classification_schema_driven(spark):
+    """North-star stage: pairwise predicate classification against the
+    ontology property schema — candidates gated by domain/range type
+    compatibility, scored by ontology-derived lexical triggers."""
+    from edgar_finance_ontology_spark.operators.linking import (
+        classify_predicates, predicate_schema_df,
+    )
+
+    schema = predicate_schema_df(spark)
+    # the schema itself is the ontology's object-property table
+    assert schema.count() >= 8
+    pairs = spark.createDataFrame(
+        [
+            # Company -> Sector with 'sector' cue: inSector must win
+            ("p1", "efin:Company", "efin:Sector",
+             "the company operates in the information technology sector"),
+            # Industry -> Sector: only inSectorOf is type-compatible
+            ("p2", "efin:Industry", "efin:Sector",
+             "software industry belongs in the it sector"),
+            # Observation -> Metric with 'metric' cue
+            ("p3", "efin:MetricObservation", "efin:Metric",
+             "this observation observes the revenue metric"),
+            # type-incompatible pair: no candidate at all
+            ("p4", "efin:Sector", "efin:Metric",
+             "sector text mentioning metric words"),
+        ],
+        "pair_id string, subj_class string, obj_class string, "
+        "evidence_text string",
+    )
+    got = classify_predicates(pairs, schema)
+    best = {r["pair_id"]: r["pred"] for r in got.where("rank = 1").collect()}
+    assert best["p1"] == "inSector"
+    assert best["p2"] == "inSectorOf"
+    assert best["p3"] == "observesMetric"
+    assert "p4" not in best  # domain/range gate: no fabricated relation
+    # every candidate ever produced respects the type gate
+    joined = got.join(
+        spark.createDataFrame(
+            [("p1", "efin:Company", "efin:Sector")],
+            "pair_id string, sc string, oc string"), "pair_id")
+    sch = {(r["pred"], r["domain_class"], r["range_class"])
+           for r in predicate_schema_df(spark).collect()}
+    for r in joined.collect():
+        assert any(p == r["pred"] and d == "efin:Company"
+                   and g == "efin:Sector" for p, d, g in sch)
