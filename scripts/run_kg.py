@@ -41,6 +41,14 @@ def main():
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("efin-kg").getOrCreate()
+    # size shuffles to the cluster when the submitter left the stock
+    # default (200 partitions drown a small job in empty tasks and
+    # under-split a big one; defaultParallelism tracks executor cores)
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(8, spark.sparkContext.defaultParallelism)),
+        )
 
     from edgar_finance_ontology_spark.emit.triples import build_triples
     from edgar_finance_ontology_spark.plans.pipeline import (
