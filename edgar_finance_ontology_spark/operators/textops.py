@@ -332,23 +332,49 @@ def pack_token_shards(df: DataFrame, shard_tokens: int,
     `shard_tokens` whitespace tokens: shard_id = floor(running token
     total / shard_tokens) over a deterministic document order.
 
-    Sequencing via ONE window cumulative sum (range-sort shuffle),
-    not a driver loop — this is the distributed form of the greedy
-    sequential packer, off by at most one document per boundary, which
-    is the accepted trade for 10^12-doc corpora. Deterministic order =
-    deterministic shards = resumable packing."""
-    from .dedup import tokens_col as _toks
-
+    The global running sum is computed DISTRIBUTED, never as a bare
+    `Window.orderBy(...)` — that plan is `Exchange SinglePartition`
+    (all 10^12 docs through one task). Instead: range-partition by the
+    order key, per-partition local cumulative sums, and a broadcast of
+    the per-partition prefix totals (P tiny rows to the driver). The
+    result is identical for ANY partition boundaries, so shard ids are
+    deterministic and the packing is resumable; off-by-one-document
+    shard boundaries are the accepted greedy trade."""
     from pyspark.sql import Window
 
-    order = F.col(order_col) if order_col else F.col(id_col)
+    from .dedup import tokens_col as _toks
+
+    order_name = order_col or id_col
     n_tok = F.size(_toks(F.col(text_col)))
-    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
-    cum = F.sum(n_tok).over(w)
-    return df.select(
-        F.col(id_col).alias("id"),
-        n_tok.cast("long").alias("n_tokens"),
-        cum.cast("long").alias("cum_tokens"),
+    d = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(order_name).alias("_ord"),
+            n_tok.cast("long").alias("n_tokens"),
+        )
+        .repartitionByRange(F.col("_ord"))
+        .sortWithinPartitions("_ord")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    d = d.localCheckpoint(eager=False)
+    # per-partition prefix offsets: P rows to the driver, broadcast back
+    totals = d.groupBy("_pid").agg(F.sum("n_tokens").alias("_t")).collect()
+    running, offsets = 0, []
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], running))
+        running += r["_t"]
+    spark = df.sparkSession
+    off = F.broadcast(spark.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off long"
+    ))
+    w = Window.partitionBy("_pid").orderBy("_ord").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("n_tokens").over(w) + F.col("_off")
+    return d.join(off, "_pid").select(
+        "id",
+        "n_tokens",
+        cum.alias("cum_tokens"),
         F.floor((cum - 1).cast("double") / shard_tokens)
         .cast("long").alias("shard_id"),
     )

@@ -178,3 +178,20 @@ def test_pack_token_shards_budget_and_order(spark):
         by_shard.setdefault(s, []).append(n)
     for s, toks in sorted(by_shard.items())[:-1]:
         assert sum(toks) >= 60 - max(toks)
+
+
+def test_pack_token_shards_is_distributed(spark):
+    """The global running sum must NOT plan as Exchange
+    SinglePartition (the whole corpus through one task) — it is a
+    two-phase prefix sum over a range partitioning."""
+    from edgar_finance_ontology_spark.operators.textops import (
+        pack_token_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "w " * 5, "en", "s", 0) for i in range(500)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    p = pack_token_shards(df, 100)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
