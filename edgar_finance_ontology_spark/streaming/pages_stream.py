@@ -136,3 +136,46 @@ def stream_dedup_exact(
         keyed.withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark(["content_md5"])
     )
+
+
+def mention_triples_frame(pages: DataFrame) -> DataFrame:
+    """Per-page mention/provenance triples: (subj=page IRI, pred,
+    obj, begin) — one row per gazetteer hit. PAGE-LOCAL by
+    construction: a page's mentions never depend on any other page, so
+    emitting them incrementally is exact under ANY micro-batching
+    (unlike per-company observation families, which need the company's
+    complete fact set and therefore stay in the batch/lineage path)."""
+    from ..operators.mentions import concept_lexicon_terms, detect_mentions
+
+    p = with_extracted_text(pages)
+    m = detect_mentions(p, concept_lexicon_terms())
+    metric = F.split(F.col("payload"), r"\|").getItem(0)
+    return m.select(
+        F.concat(F.lit("efin:page-"), F.md5("url")).alias("subj"),
+        F.lit("efin:mentionsConcept").alias("pred"),
+        F.concat(F.lit("efin:"), metric).alias("obj"),
+        F.col("begin").cast("long").alias("begin"),
+        F.col("url").alias("page_url"),
+    )
+
+
+def stream_mention_triples(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming skin of the KG's provenance layer: pages parquet dir
+    -> mention triples, appended incrementally with exactly-once file
+    tracking (AvailableNow). Re-running with the same checkpoint emits
+    nothing new; new page files emit only their own triples."""
+    pages = read_pages_stream(spark, pages_dir)
+    return (
+        mention_triples_frame(pages)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )

@@ -444,3 +444,47 @@ def test_pyav_and_encoder_gates(spark):
             feature_embed(df, "key", "payload", encoder="onnx").collect()
         assert "NotImplementedError" in str(ei.value) or isinstance(
             ei.value, NotImplementedError)
+
+
+def test_stream_mention_triples_incremental_exactly_once(spark, tmp_path):
+    """Streamed mention triples == batch mention triples on the same
+    pages; a second run over the same checkpoint emits NOTHING (file
+    tracking = exactly-once); newly arrived pages emit only their own
+    triples."""
+    from edgar_finance_ontology_spark.sources.pages import synthesize_pages
+    from edgar_finance_ontology_spark.streaming.pages_stream import (
+        mention_triples_frame, stream_mention_triples,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "mt_out")
+    ckpt = str(tmp_path / "mt_ckpt")
+    all_pages = synthesize_pages(spark, n_buckets=4, n_companies=4).cache()
+    first = all_pages.where("bucket < 2")
+    first.write.mode("overwrite").parquet(pages_dir)
+
+    q = stream_mention_triples(spark, pages_dir, out_dir, ckpt)
+    q.awaitTermination()
+    got1 = {tuple(r) for r in spark.read.parquet(out_dir)
+            .select("subj", "pred", "obj", "begin").collect()}
+    want1 = {tuple(r) for r in mention_triples_frame(first)
+             .select("subj", "pred", "obj", "begin").collect()}
+    assert got1 == want1 and len(got1) > 0
+
+    # idempotent resume: same files, same checkpoint -> nothing new
+    q = stream_mention_triples(spark, pages_dir, out_dir, ckpt)
+    q.awaitTermination()
+    got2 = {tuple(r) for r in spark.read.parquet(out_dir)
+            .select("subj", "pred", "obj", "begin").collect()}
+    assert got2 == got1
+
+    # late-arriving pages: only their triples appear
+    rest = all_pages.where("bucket >= 2")
+    rest.write.mode("append").parquet(pages_dir)
+    q = stream_mention_triples(spark, pages_dir, out_dir, ckpt)
+    q.awaitTermination()
+    got3 = {tuple(r) for r in spark.read.parquet(out_dir)
+            .select("subj", "pred", "obj", "begin").collect()}
+    want_all = {tuple(r) for r in mention_triples_frame(all_pages)
+                .select("subj", "pred", "obj", "begin").collect()}
+    assert got3 == want_all and len(got3) > len(got1)
