@@ -146,7 +146,12 @@ def build_companies(cf: DataFrame, subs: DataFrame) -> DataFrame:
         F.coalesce(F.element_at(F.col("tickers"), 1), F.lit("")).alias(
             "ticker_from_subs"
         ),
-    )
+    ).dropDuplicates()
+    # full-row dedup: a submissions cache can legitimately hold the
+    # same snapshot under several date-stamped filenames (the reference
+    # resolves strictly by run-date, so panels ship today+tomorrow to
+    # survive midnight); identical rows must not fan out the company
+    # join
     sic_int = F.col("sic").try_cast("int")
     sector = sic_sector_expr(sic_int)
     joined = c.join(F.broadcast(s), "cik", "left")

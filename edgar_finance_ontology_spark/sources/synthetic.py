@@ -289,13 +289,24 @@ def write_reference_inputs(outdir: str | pathlib.Path,
     subs_dir = outdir / "subs_cache"
     facts_dir.mkdir(parents=True, exist_ok=True)
     subs_dir.mkdir(parents=True, exist_ok=True)
-    today = datetime.now().strftime("%Y%m%d")
+    from datetime import timedelta
+
+    # the reference resolves its submissions cache by TODAY'S date at
+    # ITS OWN runtime (select_xbrl_tags cache naming) — write the file
+    # under today's AND tomorrow's date so a test session spanning
+    # midnight still hits the cache (observed flake: a suite started
+    # 23:5x failed its reference-subprocess parity cases after 00:00)
+    now = datetime.now()
+    dates = [now.strftime("%Y%m%d"),
+             (now + timedelta(days=1)).strftime("%Y%m%d")]
     facts_paths = []
     for entry in build_panel(n_companies):
         cik10 = f"{entry['facts']['cik']:010d}"
         fp = facts_dir / f"CIK{cik10}.json"
         fp.write_text(json.dumps(entry["facts"], ensure_ascii=False, indent=1))
         facts_paths.append(str(fp))
-        sp = subs_dir / f"submissions_CIK{cik10}_{today}.json"
-        sp.write_text(json.dumps(entry["subs"], ensure_ascii=False, indent=1))
+        subs_text = json.dumps(entry["subs"], ensure_ascii=False, indent=1)
+        for d in dates:
+            sp = subs_dir / f"submissions_CIK{cik10}_{d}.json"
+            sp.write_text(subs_text)
     return {"facts_paths": sorted(facts_paths), "subs_cache_dir": str(subs_dir)}
