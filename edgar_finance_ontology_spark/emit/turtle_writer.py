@@ -211,22 +211,17 @@ def _instance_dim_lines(obs_csv_frame: DataFrame) -> list:
     return lines
 
 
-def _family_summary(csv_frame: DataFrame, with_fy: bool = False):
-    """ONE job per family frame: (n_rows, has_all_market_row[, first
-    non-empty fy]). Replaces the per-flag limit(1).count() probes, each
-    of which re-derived the full upstream lineage."""
-    aggs = [
+def _family_summary(csv_frame: DataFrame):
+    """ONE job per family frame: (n_rows, has_all_market_row).
+    Replaces the per-flag limit(1).count() probes, each of which
+    re-derived the full upstream lineage."""
+    return csv_frame.agg(
         F.count("*").alias("n"),
         F.max(
             F.when((F.trim("industry") == "") & (F.trim("sector") == ""), 1)
             .otherwise(0)
         ).alias("all_market"),
-    ]
-    if with_fy:
-        aggs.append(
-            F.min(F.when(F.trim("fy") != "", F.col("fy"))).alias("fy")
-        )
-    return csv_frame.agg(*aggs).first()
+    ).first()
 
 
 def write_turtle_document(
@@ -279,7 +274,7 @@ def write_turtle_document(
         needs_sector_all = needs_sector_all or bench_sum["all_market"] == 1
     if rankings is not None:
         rank_csv = rankings_csv_frame(canonical_rankings_order(rankings))
-        rank_sum = _family_summary(rank_csv, with_fy=fy is None)
+        rank_sum = _family_summary(rank_csv)
         needs_sector_all = needs_sector_all or rank_sum["all_market"] == 1
 
     glue("00-header.txt", HEADER_LINES)
@@ -302,7 +297,14 @@ def write_turtle_document(
         if fy is not None:
             fy_ranking = str(fy)
         else:
-            fy_ranking = rank_sum["fy"] or ""
+            # turtle_text takes the FIRST canonical-order ranking row's
+            # fy (turtle.py:405) — NOT a min over all fys, which for a
+            # multi-fy rankings input diverges (lexicographic min !=
+            # first row). rank_csv is already canonically sorted, so
+            # Limit-after-Sort plans as TakeOrderedAndProject and this
+            # is exactly rank_rows[0].fy.
+            first_rank = rank_csv.select("fy").limit(1).collect()
+            fy_ranking = (first_rank[0][0] or "") if first_rank else ""
             if not fy_ranking:
                 # rankings carry no fy: turtle_text falls back to the
                 # first observation's fy (select_xbrl_tags parity)
@@ -316,6 +318,41 @@ def write_turtle_document(
             os.path.join(out_dir, "08-rankings")
         )
     return out_dir
+
+
+def concat_turtle_parts_to_file(out_dir: str, dest_path: str) -> str:
+    """Stream the ordered pieces straight into `dest_path` without ever
+    holding the whole document in driver memory — the deploy-path
+    equivalent of `cat` over the sorted pieces. Peak memory = one part
+    file (bounded by partition size), so this scales to documents far
+    larger than driver RAM. Byte-identical to concat_turtle_parts.
+    """
+    first = True
+    with open(dest_path, "w", encoding="utf-8", newline="") as out:
+        for name in sorted(os.listdir(out_dir)):
+            path = os.path.join(out_dir, name)
+            if os.path.isfile(path) and name.endswith(".txt"):
+                with open(path, encoding="utf-8", newline="") as f:
+                    text = f.read()
+            elif os.path.isdir(path):
+                chunk = []
+                for part in sorted(os.listdir(path)):
+                    if part.startswith("part-"):
+                        with open(os.path.join(path, part),
+                                  encoding="utf-8", newline="") as f:
+                            t = f.read()
+                        if t:
+                            chunk.append(t[:-1] if t.endswith("\n") else t)
+                if not chunk:
+                    continue
+                text = "\n".join(chunk)
+            else:
+                continue
+            if not first:
+                out.write("\n")
+            out.write(text)
+            first = False
+    return dest_path
 
 
 def concat_turtle_parts(out_dir: str) -> str:

@@ -43,17 +43,22 @@ def main():
     spark = SparkSession.builder.appName("efin-kg").getOrCreate()
     # size shuffles to the cluster when the submitter left the stock
     # default (200 partitions drown a small job in empty tasks and
-    # under-split a big one; defaultParallelism tracks executor cores)
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(8, spark.sparkContext.defaultParallelism)),
-        )
+    # under-split a big one; defaultParallelism tracks executor cores).
+    # An EXPLICIT --conf spark.sql.shuffle.partitions=200 is honored:
+    # the submitted SparkConf records explicit settings, so "200 because
+    # the operator asked" is distinguishable from "200 because nobody
+    # set it".
+    sp_key = "spark.sql.shuffle.partitions"
+    if not spark.sparkContext.getConf().contains(sp_key):
+        resized = str(max(8, spark.sparkContext.defaultParallelism))
+        print(f"# {sp_key} unset -> {resized} (defaultParallelism)")
+        spark.conf.set(sp_key, resized)
 
     from edgar_finance_ontology_spark.emit.triples import build_triples
-    from edgar_finance_ontology_spark.plans.pipeline import (
-        golden_turtle, run_pipeline,
+    from edgar_finance_ontology_spark.emit.turtle_writer import (
+        concat_turtle_parts_to_file, write_turtle_document,
     )
+    from edgar_finance_ontology_spark.plans.pipeline import run_pipeline
     from edgar_finance_ontology_spark.plans.web_pipeline import (
         pages_to_inputs,
     )
@@ -101,13 +106,22 @@ def main():
     ).partitionBy("pred").parquet(f"{args.out}/triples")
     n = spark.read.parquet(f"{args.out}/triples").count()
 
-    ttl = golden_turtle(
-        facts, companies, fy=args.fy,
+    # fully distributed Turtle render: every unbounded block family
+    # (companies/observations/benchmarks/rankings) renders in executors
+    # via mapInPandas and lands as ordered text part-files; the driver
+    # only streams the pieces into one file (peak driver memory = one
+    # part, not the document). Byte-identical to the reference's
+    # --emit-ttl output — parity-tested in tests/test_run_kg.py. No
+    # toPandas() executes anywhere in this deploy flow.
+    write_turtle_document(
+        f"{args.out}/ttl_parts", companies, t["observations"],
+        t["benchmarks"], t["rankings"], fy=args.fy,
         include_industry_scope=args.include_industry_scope,
         include_sector_scope=args.include_sector_scope,
     )
-    with open(f"{args.out}/instances.ttl", "w", encoding="utf-8") as f:
-        f.write(ttl)
+    concat_turtle_parts_to_file(
+        f"{args.out}/ttl_parts", f"{args.out}/instances.ttl"
+    )
 
     # the schema document the instances owl:import — shipped alongside
     # so the emitted graph loads standalone in any RDF store, plus the

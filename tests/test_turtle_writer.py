@@ -106,6 +106,43 @@ def test_instance_dims_dedupe_mixed_case_currencies(spark):
     assert units == ["efin:UnitUsd a efin:Unit ."] * 2
 
 
+def test_multi_fy_rankings_use_first_canonical_row_fy(
+    spark, engine_inputs, tmp_path
+):
+    """fy=None + rankings spanning several fiscal years: the writer must
+    take the FIRST canonical-order row's fy, exactly like turtle_text
+    (turtle.py rank_rows[0]) — NOT the lexicographic min, which for a
+    multi-fy input picks a different year (round-3 advice item)."""
+    import os
+
+    from edgar_finance_ontology_spark.emit.turtle_writer import (
+        write_turtle_document,
+    )
+    from edgar_finance_ontology_spark.plans.pipeline import (
+        canonical_rankings_order, run_pipeline,
+    )
+
+    facts, companies = engine_inputs
+    t = run_pipeline(facts, companies, fy=2024)
+    pdf = canonical_rankings_order(t["rankings"]).toPandas()
+    assert len(pdf) > 2
+    # first canonical row keeps 2024; a later row gets the smaller 2019
+    pdf.loc[pdf.index[-1], "fy"] = 2019
+    rankings = spark.createDataFrame(pdf, schema=t["rankings"].schema)
+    out = str(tmp_path / "ttl_multi_fy")
+    write_turtle_document(
+        out, companies, t["observations"], None, rankings
+    )
+    text = ""
+    rank_dir = os.path.join(out, "08-rankings")
+    for name in sorted(os.listdir(rank_dir)):
+        if name.startswith("part-"):
+            with open(os.path.join(rank_dir, name), encoding="utf-8") as f:
+                text += f.read()
+    assert "efin:forFiscalYear 2024 ;" in text
+    assert "efin:forFiscalYear 2019 ;" not in text
+
+
 def test_ranking_fy_falls_back_to_first_observation(
     spark, engine_inputs, tmp_path
 ):
