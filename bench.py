@@ -337,7 +337,18 @@ def main():
         "kg": kg,
         "scaling": scaling,
     }
-    print(json.dumps(out))
+    # full detail (incl. the 57-entry cq per_view map) goes to
+    # BENCH_LOCAL.json; the stdout line stays COMPACT so the driver's
+    # stdout-tail capture can always parse it (round-3's record was
+    # truncated mid-JSON by the ballooned per_view map — verdict #2)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    compact = json.loads(json.dumps(out))
+    cq = compact.get("kg", {}).get("cq_catalog")
+    if cq:
+        cq.pop("per_view", None)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

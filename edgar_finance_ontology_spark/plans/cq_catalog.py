@@ -36,6 +36,7 @@ Notes mirrored from the reference docs:
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1253,33 +1254,62 @@ def base_tables(spark: SparkSession, observations: DataFrame,
     }
 
 
+# per-application directory holding the current materialized support
+# tables; replaced (and the previous generation deleted) on re-register
+# so repeated registrations — a different fy, a refreshed snapshot —
+# neither pin stale executor storage nor accumulate disk
+_SUPPORT_STORE: dict[str, str] = {}
+
+
 def register_cq_catalog(spark: SparkSession, observations: DataFrame,
                         companies: DataFrame, benchmarks: DataFrame,
                         rankings: DataFrame,
                         fy: int = DEFAULT_FY,
-                        materialize: bool = False) -> None:
+                        materialize: bool = False,
+                        store_dir: str | None = None) -> None:
     """Create every base + support temp view for the given fiscal year;
     after this, each catalog entry runs as
     spark.sql(build_cq_catalog(fy)[name]).
 
-    `materialize=True` eagerly computes each support view ONCE and
-    registers the materialized result instead of the SQL view — a plain
-    view re-executes its whole body for every consumer, and the
-    leader-class CQs each join efin_leader_classes (itself windows over
-    the full rankings table) up to three times. Use it when the catalog
-    is queried repeatedly over the same snapshot; dual-engine tests use
-    the plain-view form so the identical SQL runs in DuckDB."""
+    `materialize=True` computes each support view ONCE, writes it as a
+    parquet stage table, and registers the re-read frame — a plain view
+    re-executes its whole body for every consumer, and the leader-class
+    CQs each join efin_leader_classes (itself windows over the full
+    rankings table) up to four times. Stage tables beat `.cache()` here
+    for two measured reasons: (1) an InMemoryRelation embeds the entire
+    upstream AdaptiveSparkPlan, so every consumer join leg re-plans a
+    ~470-node tree on the driver (~0.8 s/leg at the 240-company panel —
+    cq_c7's four legs ran 3–21 s while 55 sibling views sat at 0.2 s);
+    a parquet-backed view is a leaf FileScan and plans in milliseconds.
+    (2) cached frames stay pinned in executor storage across
+    re-registrations (round-3 advice item); stage-table generations are
+    deleted on replace. On a cluster this is exactly the materialized-
+    snapshot-table pattern (the Iceberg analog of the design's metrics
+    tables). Dual-engine tests use the plain-view form so the identical
+    SQL runs in DuckDB."""
+    import shutil
+    import tempfile
+
     for name, df in base_tables(
         spark, observations, companies, benchmarks, rankings
     ).items():
         df.createOrReplaceTempView(name)
-    for name, sql in build_support_views(fy):
-        if materialize:
-            df = spark.sql(sql).cache()
-            df.count()  # eager: later consumers hit the cached result
-            df.createOrReplaceTempView(name)
-        else:
+    if not materialize:
+        for name, sql in build_support_views(fy):
             spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
+        return
+    key = spark.sparkContext.applicationId
+    new_dir = store_dir or tempfile.mkdtemp(prefix="efin-cq-support-")
+    # dependency order: later support views read the parquet-backed
+    # registrations of earlier ones, so each is computed exactly once
+    for name, sql in build_support_views(fy):
+        path = os.path.join(new_dir, name)
+        spark.sql(sql).write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).createOrReplaceTempView(name)
+    old = _SUPPORT_STORE.get(key)
+    if old and old != new_dir:
+        shutil.rmtree(old, ignore_errors=True)
+    _SUPPORT_STORE[key] = new_dir
 
 
 def run_cq(spark: SparkSession, name: str, fy: int = DEFAULT_FY) -> DataFrame:

@@ -47,6 +47,10 @@ def build_session(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("EFIN_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout/stderr machine-readable: the bench harness prints
+        # ONE JSON line that automation parses; progress-bar \r frames
+        # interleaved into captured output corrupted the round-3 record
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
