@@ -27,15 +27,19 @@ Audio: audio_metadata (REAL RIFF/WAVE parse via the stdlib `wave`
 module) and audio_features (REAL DSP — per-window RMS, zero-crossing
 rate, FFT spectral centroid over the PCM samples with numpy).
 
-Feature embedding (feature_embed(encoder=...)): "stub" is the
-deterministic md5 fake (fixture); "onnx"/"torch" are import-gated
-real-encoder hooks that raise a clear error when the runtime is
-absent from the container.
+Feature embedding (feature_embed(encoder=...)): "mlp" (default) is a
+REAL encoder — length-normalized byte-histogram features through a
+committed 2-layer MLP (models/mlp_embed_8.npz), pure numpy, batch-
+vectorized, loaded once per executor; "onnx" runs the same model (or
+any [N,256]->[N,dim] float32 model via model_path) through
+onnxruntime, import-gated; "stub" keeps the md5 fake for plumbing
+fixtures.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -259,11 +263,16 @@ def parse_mp4_sample_table(b: bytes) -> dict | None:
             _s.unpack(">I", b[ps + 8 + 4 * i:ps + 12 + 4 * i])[0]
             for i in range(count)
         ])
-    # chunk offsets
+    # chunk offsets — entry width follows the box actually selected
+    # (a malformed file carrying BOTH stco and co64 must parse stco's
+    # 4-byte entries with a 4-byte stride, not co64's)
     offsets: list[int] = []
-    rng = full(b"stco") or full(b"co64")
+    rng = full(b"stco")
+    wide = False
+    if rng is None:
+        rng = full(b"co64")
+        wide = True
     if rng:
-        wide = b"co64" in boxes
         ps, _pe = rng
         n = _s.unpack(">I", b[ps:ps + 4])[0]
         w, fmtc = (8, ">Q") if wide else (4, ">I")
@@ -520,59 +529,126 @@ def audio_features(df: DataFrame, key_col: str, bin_col: str,
     return df.select(key_col, bin_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
-def _embed_onnx(payloads, dim):
-    try:
-        import onnxruntime  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "encoder='onnx' requires onnxruntime; install the multimodal "
-            "extra or use encoder='stub' (deterministic fixture)"
-        ) from e
-    raise NotImplementedError(
-        "encoder='onnx' needs a model path wired via feature_embed's "
-        "caller; see operators/multimodal.py"
-    )
+# encoder state loaded ONCE per executor process and reused across
+# Arrow batches/tasks (the worker is long-lived under
+# spark.python.worker.reuse, the default)
+_ENCODER_CACHE: dict = {}
+
+_DEFAULT_MLP = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "models", "mlp_embed_8.npz",
+)
+_DEFAULT_ONNX = _DEFAULT_MLP[:-4] + ".onnx"
 
 
-def _embed_torch(payloads, dim):
+def _byte_histograms(payloads) -> "np.ndarray":
+    """float32 [N, 256] length-normalized byte histograms — the model
+    input contract shared by the mlp and onnx encoders. Content-
+    sensitive and near-dup-smooth: one flipped byte moves two bins."""
+    import numpy as np
+
+    out = np.zeros((len(payloads), 256), dtype=np.float32)
+    for i, payload in enumerate(payloads):
+        b = bytes(payload) if payload is not None else b""
+        if b:
+            counts = np.bincount(
+                np.frombuffer(b, dtype=np.uint8), minlength=256
+            )
+            out[i] = counts / len(b)
+    return out
+
+
+def _mlp_weights(model_path: str):
+    import numpy as np
+
+    key = ("mlp", model_path)
+    if key not in _ENCODER_CACHE:
+        with np.load(model_path) as z:
+            _ENCODER_CACHE[key] = (z["w1"], z["b1"], z["w2"], z["b2"])
+    return _ENCODER_CACHE[key]
+
+
+def _embed_mlp_batch(payloads, model_path: str) -> "np.ndarray":
+    """Real forward pass, vectorized over the whole Arrow batch:
+    X[N,256] @ W1 -> relu -> @ W2. Committed fixture weights
+    (models/mlp_embed_8.npz, scripts/make_mlp_fixture.py)."""
+    import numpy as np
+
+    w1, b1, w2, b2 = _mlp_weights(model_path)
+    x = _byte_histograms(payloads)
+    h = np.maximum(x @ w1 + b1, 0.0)
+    return (h @ w2 + b2).astype(np.float64)
+
+
+def _embed_onnx_batch(payloads, model_path: str) -> "np.ndarray":
+    """Same contract through onnxruntime: the model takes float32
+    X[N,256] and returns float32 Y[N,dim]. The committed
+    models/mlp_embed_8.onnx carries the SAME weights as the npz, so
+    where onnxruntime is installed the two paths agree to float32
+    tolerance (gated test). Session built once per executor."""
     try:
-        import torch  # noqa: F401
+        import onnxruntime
     except ImportError as e:
         raise NotImplementedError(
-            "encoder='torch' requires torch; install the multimodal "
-            "extra or use encoder='stub' (deterministic fixture)"
+            "encoder='onnx' requires onnxruntime; use encoder='mlp' "
+            "(same model, pure-numpy forward pass) in runtimes without it"
         ) from e
-    raise NotImplementedError(
-        "encoder='torch' needs a model wired via feature_embed's caller"
-    )
+    key = ("onnx", model_path)
+    if key not in _ENCODER_CACHE:
+        _ENCODER_CACHE[key] = onnxruntime.InferenceSession(
+            model_path, providers=["CPUExecutionProvider"]
+        )
+    import numpy as np
+
+    sess = _ENCODER_CACHE[key]
+    x = _byte_histograms(payloads)
+    (y,) = sess.run(None, {sess.get_inputs()[0].name: x})
+    return y.astype(np.float64)
 
 
 def feature_embed(df: DataFrame, key_col: str, bin_col: str,
-                  dim: int = 8, encoder: str = "stub") -> DataFrame:
+                  dim: int = 8, encoder: str = "mlp",
+                  model_path: str | None = None) -> DataFrame:
     """Binary -> fixed-dim feature vector (mapInPandas, Arrow batches).
 
-    encoder="stub" is the deterministic md5 fixture (clearly fake —
-    kept so plumbing tests run in codec-less containers);
-    "onnx"/"torch" are the real-encoder hooks, import-gated with clear
-    errors when the runtime is absent. For AUDIO, prefer
-    audio_features — real DSP with no extra dependency."""
+    encoder="mlp" (default): REAL encoder — byte-histogram features
+    through a committed 2-layer MLP (models/mlp_embed_8.npz), pure
+    numpy, vectorized per Arrow batch, weights loaded once per
+    executor. Output feeds similarity search directly
+    (operators/similarity.py, embedding_near_dup).
+    encoder="onnx": the same model executed by onnxruntime from
+    `model_path` (default models/mlp_embed_8.onnx) — the hook for
+    swapping in any [N,256]->[N,dim] float32 ONNX model; import-gated.
+    encoder="stub": deterministic md5 fixture (clearly fake — kept for
+    plumbing tests that must not depend on model files).
+    For AUDIO, prefer audio_features — real DSP, no extra dependency.
+    """
+    if encoder in ("mlp", "onnx") and model_path is None:
+        model_path = _DEFAULT_MLP if encoder == "mlp" else _DEFAULT_ONNX
+    if encoder in ("mlp", "onnx") and dim != 8:
+        raise ValueError(
+            f"the committed fixture model emits dim=8; pass a "
+            f"model_path trained for dim={dim}"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for key, payload in zip(pdf[key_col], pdf[bin_col]):
-                blob = bytes(payload) if payload is not None else b""
-                if encoder == "stub":
-                    h = hashlib.md5(blob).hexdigest()
-                    vec = [int(h[i * 4:(i + 1) * 4], 16) / 65536.0
-                           for i in range(dim)]
-                elif encoder == "onnx":
-                    vec = _embed_onnx(blob, dim)
-                elif encoder == "torch":
-                    vec = _embed_torch(blob, dim)
-                else:
-                    raise ValueError(f"unknown encoder {encoder!r}")
-                rows.append({"key": str(key), "feature": vec})
-            yield pd.DataFrame(rows, columns=["key", "feature"])
+            keys = [str(k) for k in pdf[key_col]]
+            payloads = list(pdf[bin_col])
+            if encoder == "mlp":
+                vecs = _embed_mlp_batch(payloads, model_path).tolist()
+            elif encoder == "onnx":
+                vecs = _embed_onnx_batch(payloads, model_path).tolist()
+            elif encoder == "stub":
+                vecs = []
+                for payload in payloads:
+                    b = bytes(payload) if payload is not None else b""
+                    h = hashlib.md5(b).hexdigest()
+                    vecs.append([int(h[i * 4:(i + 1) * 4], 16) / 65536.0
+                                 for i in range(dim)])
+            else:
+                raise ValueError(f"unknown encoder {encoder!r}")
+            yield pd.DataFrame({"key": keys, "feature": vecs},
+                               columns=["key", "feature"])
 
     return df.select(key_col, bin_col).mapInPandas(run, EMBED_SCHEMA)

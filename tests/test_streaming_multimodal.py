@@ -86,9 +86,91 @@ def test_multimodal_plumbing(spark):
     frames = sample_frames(pages, "url", "html")
     assert frames.groupBy("key").count().agg(F.min("count")).collect()[0][0] >= 1
 
-    emb = feature_embed(pages, "url", "html", dim=8)
+    emb = feature_embed(pages, "url", "html", dim=8, encoder="stub")
     v = emb.collect()[0]["feature"]
     assert len(v) == 8 and all(0.0 <= x < 1.0 for x in v)
+
+
+def test_mlp_encoder_real_vectors_drive_similarity(spark):
+    """The default encoder computes REAL content-derived vectors (byte
+    histogram -> committed-MLP forward pass): deterministic, near-dup
+    payloads land adjacent under cosine top-k, and the vectors flow
+    straight into the similarity operators (round-3 verdict #4 — the
+    end-to-end multimodal-dedup story no longer runs on md5 fixtures).
+    """
+    from edgar_finance_ontology_spark.operators.multimodal import (
+        feature_embed,
+    )
+    from edgar_finance_ontology_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    base = b"The quick brown fox jumps over the lazy dog. " * 40
+    rows = [
+        ("a", bytearray(base)),
+        ("a2", bytearray(base[:-3] + b"cat")),         # near-dup of a
+        ("b", bytearray(bytes(range(256)) * 8)),       # different
+        ("c", bytearray(b"completely other text payload 999" * 30)),
+    ]
+    df = spark.createDataFrame(rows, "key string, payload binary")
+    emb = feature_embed(df, "key", "payload")  # encoder="mlp" default
+    got = {r["key"]: r["feature"] for r in emb.collect()}
+    assert all(len(v) == 8 for v in got.values())
+    # deterministic across runs
+    again = {r["key"]: r["feature"] for r in
+             feature_embed(df, "key", "payload").collect()}
+    assert got == again
+    top = brute_force_topk(emb, emb, k=1, id_col="key", vec_col="feature")
+    nearest = {r["query_id"]: (r["neighbor_id"], r["cos"])
+               for r in top.collect()}
+    assert nearest["a"][0] == "a2" and nearest["a2"][0] == "a"
+    assert nearest["a"][1] > 0.999
+
+
+def test_onnx_fixture_is_exact_export_of_npz_weights():
+    """The committed .onnx bytes must be exactly the hand-encoded
+    protobuf of the committed .npz weights (scripts/make_mlp_fixture),
+    and its structure must be the documented Gemm-Relu-Gemm graph."""
+    import importlib.util
+    import os
+
+    import numpy as np
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "make_mlp_fixture",
+        os.path.join(repo, "scripts", "make_mlp_fixture.py"),
+    )
+    fx = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fx)
+    models = os.path.join(repo, "edgar_finance_ontology_spark", "models")
+    with np.load(os.path.join(models, "mlp_embed_8.npz")) as z:
+        rebuilt = fx.build_onnx(z["w1"], z["b1"], z["w2"], z["b2"])
+    committed = open(os.path.join(models, "mlp_embed_8.onnx"), "rb").read()
+    assert committed == rebuilt
+    facts = fx.decode_onnx_sanity(committed)
+    assert facts["ops"] == ["Gemm", "Relu", "Gemm"]
+    assert facts["initializers"]["W1"] == ((256, 64), 256 * 64)
+    assert facts["input"] == "X" and facts["output"] == "Y"
+
+
+def test_onnx_encoder_matches_numpy_forward_pass():
+    """Where onnxruntime is installed, the onnx path must reproduce the
+    numpy forward pass on the same committed weights (float32
+    tolerance). Skipped in runtimes without onnxruntime — the import
+    gate itself is covered by test_pyav_and_encoder_gates."""
+    import numpy as np
+    import pytest
+
+    pytest.importorskip("onnxruntime")
+    from edgar_finance_ontology_spark.operators.multimodal import (
+        _DEFAULT_MLP, _DEFAULT_ONNX, _embed_mlp_batch, _embed_onnx_batch,
+    )
+
+    payloads = [b"alpha" * 100, bytes(range(256)), b"", b"zz" * 999]
+    want = _embed_mlp_batch(payloads, _DEFAULT_MLP)
+    got = _embed_onnx_batch(payloads, _DEFAULT_ONNX)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
 def test_stateful_session_counts_across_microbatches(spark, tmp_path):
