@@ -114,16 +114,56 @@ def quality_scores(df: DataFrame, text_col: str = "text",
 
 
 def token_counts(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """whitespace tokens + BPE-ish subword count (runs of letters,
-    digits, or single punctuation — a cheap proxy for BPE pieces)."""
+                 id_col: str = "doc_id",
+                 tokenizer: str = "proxy",
+                 merges_path: str | None = None) -> DataFrame:
+    """whitespace tokens + subword token count.
+
+    tokenizer="proxy" (default, column-native, oracle-replayable):
+    bpe_tokens = pretoken count (runs of letters, digits, or single
+    punctuation) — exactly the piece count a BPE would emit with an
+    empty merge table.
+    tokenizer="bpe": REAL byte-level BPE piece count under the
+    committed merge table (functions/bpe.py, models/bpe_merges_512.txt
+    by default or any merges file via `merges_path`) — Arrow-batched
+    mapInPandas, merge table loaded once per executor, per-word memo.
+    Same output schema either way, so pack_token_shards and budget
+    reports consume both interchangeably."""
     text = F.col(text_col)
     ws = F.size(tokens_col(text))
-    bpe = F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0))
-    return df.select(
+    if tokenizer == "proxy":
+        bpe = F.size(F.regexp_extract_all(
+            text, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0))
+        return df.select(
+            F.col(id_col).alias("id"),
+            ws.cast("int").alias("ws_tokens"),
+            bpe.cast("int").alias("bpe_tokens"),
+        )
+    if tokenizer != "bpe":
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    from ..functions.bpe import DEFAULT_MERGES
+    path = merges_path or DEFAULT_MERGES
+
+    def run(batches):
+        import pandas as pd
+
+        from ..functions.bpe import count_tokens
+        for pdf in batches:
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "ws_tokens": pdf["ws_tokens"],
+                "bpe_tokens": [count_tokens(t, path)
+                               for t in pdf["_text"]],
+            })
+
+    slim = df.select(
         F.col(id_col).alias("id"),
         ws.cast("int").alias("ws_tokens"),
-        bpe.cast("int").alias("bpe_tokens"),
+        F.col(text_col).alias("_text"),
+    )
+    id_type = slim.schema["id"].dataType.simpleString()
+    return slim.mapInPandas(
+        run, f"id {id_type}, ws_tokens int, bpe_tokens int"
     )
 
 
@@ -327,10 +367,18 @@ def quality_funnel(df: DataFrame, text_col: str = "text",
 
 def pack_token_shards(df: DataFrame, shard_tokens: int,
                       text_col: str = "text", id_col: str = "doc_id",
-                      order_col: str | None = None) -> DataFrame:
+                      order_col: str | None = None,
+                      counter: str = "ws",
+                      merges_path: str | None = None) -> DataFrame:
     """Assign each document to a training shard so shards hold ~
-    `shard_tokens` whitespace tokens: shard_id = floor(running token
-    total / shard_tokens) over a deterministic document order.
+    `shard_tokens` tokens: shard_id = floor(running token total /
+    shard_tokens) over a deterministic document order.
+
+    counter="ws" (default) budgets whitespace tokens (column-native);
+    counter="bpe" budgets REAL byte-level BPE pieces under the
+    committed merge table (functions/bpe.py) so shard sizes match what
+    a trainer actually consumes — same distributed prefix-sum shape,
+    the counting just runs Arrow-batched before the range partition.
 
     The global running sum is computed DISTRIBUTED, never as a bare
     `Window.orderBy(...)` — that plan is `Exchange SinglePartition`
@@ -345,13 +393,42 @@ def pack_token_shards(df: DataFrame, shard_tokens: int,
     from .dedup import tokens_col as _toks
 
     order_name = order_col or id_col
-    n_tok = F.size(_toks(F.col(text_col)))
-    d = (
-        df.select(
+    if counter == "bpe":
+        from ..functions.bpe import DEFAULT_MERGES
+        path = merges_path or DEFAULT_MERGES
+
+        def count_run(batches):
+            import pandas as pd
+
+            from ..functions.bpe import count_tokens
+            for pdf in batches:
+                yield pd.DataFrame({
+                    "id": pdf["id"], "_ord": pdf["_ord"],
+                    "n_tokens": [count_tokens(t, path)
+                                 for t in pdf["_text"]],
+                })
+
+        slim = df.select(
+            F.col(id_col).alias("id"),
+            F.col(order_name).alias("_ord"),
+            F.col(text_col).alias("_text"),
+        )
+        id_t = slim.schema["id"].dataType.simpleString()
+        ord_t = slim.schema["_ord"].dataType.simpleString()
+        counted = slim.mapInPandas(
+            count_run, f"id {id_t}, _ord {ord_t}, n_tokens long"
+        )
+    elif counter == "ws":
+        n_tok = F.size(_toks(F.col(text_col)))
+        counted = df.select(
             F.col(id_col).alias("id"),
             F.col(order_name).alias("_ord"),
             n_tok.cast("long").alias("n_tokens"),
         )
+    else:
+        raise ValueError(f"unknown counter {counter!r}")
+    d = (
+        counted
         .repartitionByRange(F.col("_ord"))
         .sortWithinPartitions("_ord")
         .withColumn("_pid", F.spark_partition_id())

@@ -17,6 +17,8 @@ documents embeddings).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -801,6 +803,37 @@ FROM documents
 """
 
 
+def q_token_counts_bpe(spark, sf):
+    """REAL byte-level BPE piece counts (functions/bpe.py) per
+    document, under the committed 16-merge table — truncated so the
+    counts differ from both whitespace and pretoken counts on this
+    corpus (the full 512 table fuses every word: bpe == ws, a
+    non-discriminating oracle). Oracle: golden parquet produced by the
+    INDEPENDENT rank-order BPE formulation
+    (scripts/make_golden_bpe.py); equivalence of the two formulations
+    is itself hypothesis-fuzzed in tests/test_bpe.py."""
+    from .operators.textops import token_counts
+
+    merges = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "models", "bpe_merges_16.txt",
+    )
+    d = _t(spark, sf, "documents")
+    return token_counts(d, tokenizer="bpe", merges_path=merges) \
+        .orderBy("id")
+
+
+_GOLDEN_BPE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "golden", "token_counts_bpe.parquet",
+)
+SQL_TOKENS_BPE = f"""
+SELECT id, ws_tokens, bpe_tokens
+FROM read_parquet('{_GOLDEN_BPE}')
+ORDER BY id
+"""
+
+
 def q_fingerprints(spark, sf):
     from .operators.textops import fingerprints
 
@@ -1198,6 +1231,7 @@ QUERIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_scores": (q_quality, SQL_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKENS),
+    "token_counts_bpe": (q_token_counts_bpe, SQL_TOKENS_BPE),
     "doc_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "gazetteer_mentions": (q_gazetteer_mentions, SQL_GAZETTEER),
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_CLUSTERS),
