@@ -13,7 +13,7 @@ codegen); no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -146,12 +146,29 @@ def build_companies(cf: DataFrame, subs: DataFrame) -> DataFrame:
         F.coalesce(F.element_at(F.col("tickers"), 1), F.lit("")).alias(
             "ticker_from_subs"
         ),
-    ).dropDuplicates()
-    # full-row dedup: a submissions cache can legitimately hold the
-    # same snapshot under several date-stamped filenames (the reference
-    # resolves strictly by run-date, so panels ship today+tomorrow to
-    # survive midnight); identical rows must not fan out the company
-    # join
+        F.input_file_name().alias("_src"),
+    )
+    # ONE row per cik, whatever the cache holds: a submissions cache
+    # legitimately carries the same snapshot under several date-stamped
+    # filenames (the reference resolves strictly by run-date, so panels
+    # ship today+tomorrow to survive midnight) — and after an overnight
+    # EDGAR refresh the snapshots' CONTENT can differ too, where a
+    # full-row dedup would still fan out the company join. The latest
+    # snapshot wins (filenames embed an ISO date, so lexicographic max
+    # = newest); content columns break ties so frames built off-file
+    # (_src = "") stay deterministic.
+    pick = Window.partitionBy("cik").orderBy(
+        F.col("_src").desc(),
+        F.col("ticker_from_subs").asc(),
+        F.col("sic").asc_nulls_last(),
+        F.col("sic_description").asc(),
+        F.col("fye").asc(),
+    )
+    s = (
+        s.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
     sic_int = F.col("sic").try_cast("int")
     sector = sic_sector_expr(sic_int)
     joined = c.join(F.broadcast(s), "cik", "left")
