@@ -52,7 +52,8 @@ BENCH_QUERIES = [
     "doc_fingerprints",
     "gazetteer_mentions", "doc_dup_clusters", "global_topk",
     "embedding_near_dup", "repetition_scores", "cross_source_overlap",
-    "pii_scrub_stats", "stratified_sample", "quality_funnel",
+    "pii_scrub_stats", "pii_card_stats", "stratified_sample",
+    "quality_funnel",
     "pack_token_shards",
 ]
 

@@ -273,8 +273,25 @@ def cross_source_overlap(df: DataFrame, test_source: str,
 # digit-run pattern would destroy wholesale. A match must carry an
 # explicit phone marker: a leading '+' country code, a parenthesized
 # area code, or hyphenated 3-3/4-4 grouping.
+#
+# The same precision doctrine shapes the newer patterns:
+#  * credit_card scrubs only HYPHEN-grouped 4-4-4-4 / Amex 4-6-5 runs
+#    (space-grouped 4-4-4-4 is exactly a year list, "2020 2021 2022
+#    2023"); bare 13-19 digit runs are handled by the non-destructive
+#    Luhn DETECTOR (pii_card_stats) rather than the scrubber.
+#  * iban scrubs the COMPACT electronic form only ([A-Z]{2} check
+#    digits + 11-30 alnum, total 15-34 — \b anchoring means an
+#    interior slice of a longer alnum run can never match); the
+#    paper-spaced form "GB29 NWBK ..." is skipped because
+#    "FY24 2023 2024" has the same shape.
+#  * credit_card runs BEFORE ssn/phone so the hyphenated card body is
+#    consumed whole instead of leaking 3-3/4-4 fragments to <PHONE>.
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("credit_card",
+     r"\b\d{4}-\d{4}-\d{4}-\d{4}\b|\b\d{4}-\d{6}-\d{5}\b",
+     "<CARD>"),
+    ("iban", r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b", "<IBAN>"),
     ("ssn", r"\d{3}-\d{2}-\d{4}", "<SSN>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("phone",
@@ -282,7 +299,58 @@ PII_PATTERNS = [
      r"|\(\d{2,4}\)[ \-]?\d{3,4}[ \-]?\d{4}"
      r"|\d{3}-\d{3,4}-\d{4}",
      "<PHONE>"),
+    ("address",
+     r"\b\d{1,5} [A-Z][a-z]+ (?:[A-Z][a-z]+ )?"
+     r"(?:Street|Avenue|Boulevard|Lane|Drive|Court|Place|Road|Way"
+     r"|St|Ave|Blvd|Ln|Dr|Ct|Rd)\b",
+     "<ADDR>"),
 ]
+
+# candidate card-number runs for the Luhn detector: 13-19 digits with
+# optional single space/hyphen separators between them
+CARD_CANDIDATE_RE = r"\b\d(?:[ -]?\d){12,18}\b"
+
+
+def luhn_valid_col(card):
+    """True iff the digit run in `card` (separators allowed) passes the
+    Luhn checksum and is 13-19 digits long — column-native, no UDF.
+    Spark `transform` indexes 0-based (the DuckDB twin's lambda is
+    1-based)."""
+    digits = F.filter(
+        F.split(F.regexp_replace(card, r"[ -]", ""), ""),
+        lambda c: c != F.lit(""),
+    )
+    rev = F.reverse(digits)
+    vals = F.transform(
+        rev,
+        lambda c, i: F.when(
+            i % 2 == 1,
+            F.when(c.cast("int") * 2 > 9, c.cast("int") * 2 - 9)
+            .otherwise(c.cast("int") * 2),
+        ).otherwise(c.cast("int")),
+    )
+    total = F.aggregate(vals, F.lit(0), lambda acc, x: acc + x)
+    return (
+        (total % 10 == 0) & (F.size(digits) >= 13) & (F.size(digits) <= 19)
+    )
+
+
+def pii_card_stats(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Non-destructive card-number DETECTION: per document, how many
+    13-19-digit candidate runs appear and how many pass the Luhn
+    checksum. The scrubber only masks hyphen-grouped shapes (precision
+    doctrine above); this detector is the audit surface for bare runs
+    — a training-data pipeline routes docs with luhn_valid > 0 to
+    quarantine/manual scrub instead of rewriting numeric tables
+    wholesale."""
+    cands = F.regexp_extract_all(F.col(text_col), F.lit(CARD_CANDIDATE_RE), 0)
+    valid = F.filter(cands, lambda c: luhn_valid_col(c))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(cands).cast("int").alias("card_candidates"),
+        F.size(valid).cast("int").alias("luhn_valid"),
+    )
 
 
 def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:

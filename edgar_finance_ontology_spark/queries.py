@@ -1081,24 +1081,69 @@ def q_pii_scrub(spark, sf):
     )
 
 
-SQL_PII = r"""
-WITH s AS (
-  SELECT text,
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text,
-                 '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-           '\+\d{1,3}[ \-]?\(?\d{2,4}\)?[ \-]?\d{3,4}[ \-]?\d{3,4}|\(\d{2,4}\)[ \-]?\d{3,4}[ \-]?\d{4}|\d{3}-\d{3,4}-\d{4}', '<PHONE>', 'g') AS scrubbed
-  FROM documents)
+def _pii_sql_chain() -> str:
+    """The oracle regexp_replace chain GENERATED from PII_PATTERNS so
+    the two engines can never drift (patterns are portable Java/RE2:
+    no backrefs, no lookaround, no quote chars)."""
+    from .operators.textops import PII_PATTERNS
+
+    expr = "text"
+    for _, pat, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr},\n  '{pat}', '{token}', 'g')"
+    return expr
+
+
+SQL_PII = f"""
+WITH s AS (SELECT text, {_pii_sql_chain()} AS scrubbed FROM documents)
 SELECT count(*) AS n_docs,
        CAST(sum(CASE WHEN scrubbed <> text THEN 1 ELSE 0 END) AS BIGINT)
          AS n_docs_changed,
        CAST(sum(greatest(length(text) - length(scrubbed), 0)) AS BIGINT)
          AS total_removed_chars
 FROM s
+"""
+
+
+def q_pii_cards(spark, sf):
+    """Luhn card-number DETECTION sweep (non-destructive audit of bare
+    13-19-digit runs the precision-doctrine scrubber leaves alone):
+    corpus totals of candidate runs and Luhn-valid ones."""
+    from .operators.textops import pii_card_stats
+
+    d = _t(spark, sf, "documents")
+    s = pii_card_stats(d)
+    return s.groupBy().agg(
+        F.count("*").alias("n_docs"),
+        F.sum("card_candidates").cast("long").alias("total_candidates"),
+        F.sum("luhn_valid").cast("long").alias("total_luhn_valid"),
+    )
+
+
+# DuckDB twin replays candidate extraction AND the Luhn checksum with
+# list lambdas — NOTE DuckDB lambda indexes are 1-BASED (double when
+# i % 2 = 0 counting from the reversed tail) where Spark transform's
+# are 0-based (double when i % 2 = 1).
+SQL_PII_CARDS = r"""
+WITH c AS (
+  SELECT regexp_extract_all(text, '\b\d(?:[ -]?\d){12,18}\b') AS cands
+  FROM documents),
+v AS (
+  SELECT len(cands) AS nc,
+         len(list_filter(cands, cand ->
+           len(regexp_extract_all(cand, '\d')) BETWEEN 13 AND 19 AND
+           list_sum(list_transform(
+             list_reverse(list_transform(
+               regexp_extract_all(cand, '\d'), x -> CAST(x AS INT))),
+             (x, i) -> CASE WHEN i % 2 = 0
+                       THEN CASE WHEN x * 2 > 9 THEN x * 2 - 9
+                            ELSE x * 2 END
+                       ELSE x END)) % 10 = 0
+         )) AS nv
+  FROM c)
+SELECT count(*) AS n_docs,
+       CAST(coalesce(sum(nc), 0) AS BIGINT) AS total_candidates,
+       CAST(coalesce(sum(nv), 0) AS BIGINT) AS total_luhn_valid
+FROM v
 """
 
 
@@ -1240,6 +1285,7 @@ QUERIES = {
     "repetition_scores": (q_repetition, SQL_REPETITION),
     "cross_source_overlap": (q_cross_source_overlap, SQL_CROSS_SOURCE),
     "pii_scrub_stats": (q_pii_scrub, SQL_PII),
+    "pii_card_stats": (q_pii_cards, SQL_PII_CARDS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
     "quality_funnel": (q_quality_funnel, SQL_FUNNEL),
     "pack_token_shards": (q_pack_shards, SQL_PACK),

@@ -81,6 +81,99 @@ def test_pii_scrub_masks_and_preserves(spark):
     assert got["g"]["text_scrubbed"] == "call <PHONE> or <PHONE> anytime"
 
 
+def test_pii_scrub_cards_ibans_addresses(spark):
+    from edgar_finance_ontology_spark.operators.textops import pii_scrub
+
+    docs = [
+        ("card", "pay with 4111-1111-1111-1111 today"),
+        ("amex", "amex 3782-822463-10005 on record"),
+        # hyphen-grouped card must be eaten WHOLE, not leak 4-4-4
+        # fragments to <PHONE>
+        ("leak", "num 5500-0000-0000-0004."),
+        ("iban", "wire to GB29NWBK60161331926819 by friday"),
+        ("addr1", "ship to 123 Main Street promptly"),
+        ("addr2", "office at 1600 Pennsylvania Avenue today"),
+        ("addr3", "hq moved to 45 Wall St recently"),
+        # precision doctrine: year lists shaped like spaced card
+        # groups, fiscal-year tokens shaped like spaced IBAN prefixes,
+        # and bare digit runs all survive the scrubber
+        ("years", "results 2020 2021 2022 2023 improved"),
+        ("fy", "guidance FY24 2023 2024 reiterated"),
+        ("bare", "order id 4111111111111111 logged"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got["card"]["text_scrubbed"] == "pay with <CARD> today"
+    assert got["amex"]["text_scrubbed"] == "amex <CARD> on record"
+    assert got["leak"]["text_scrubbed"] == "num <CARD>."
+    assert got["iban"]["text_scrubbed"] == "wire to <IBAN> by friday"
+    assert got["addr1"]["text_scrubbed"] == "ship to <ADDR> promptly"
+    assert got["addr2"]["text_scrubbed"] == "office at <ADDR> today"
+    assert got["addr3"]["text_scrubbed"] == "hq moved to <ADDR> recently"
+    for clean in ("years", "fy", "bare"):
+        assert got[clean]["text_scrubbed"] == got[clean]["text"], clean
+
+
+def test_pii_card_stats_luhn(spark):
+    """The detector flags Luhn-valid 13-19-digit runs (separated or
+    bare) without touching the text; invalid checksums and short runs
+    are counted as candidates only / not at all."""
+    from edgar_finance_ontology_spark.operators.textops import (
+        pii_card_stats,
+    )
+
+    docs = [
+        ("valid_bare", "card 4111111111111111 charged"),
+        ("valid_sep", "card 4111 1111 1111 1111 charged"),
+        ("invalid", "ref 4111111111111112 logged"),
+        ("short", "code 123456789012 ok"),         # 12 digits: no cand
+        ("none", "perfectly ordinary sentence"),
+        ("amex", "amex 378282246310005 works"),     # 15-digit Luhn-valid
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["id"]: (r["card_candidates"], r["luhn_valid"])
+           for r in pii_card_stats(df).collect()}
+    assert got["valid_bare"] == (1, 1)
+    assert got["valid_sep"] == (1, 1)
+    assert got["invalid"] == (1, 0)
+    assert got["short"] == (0, 0)
+    assert got["none"] == (0, 0)
+    assert got["amex"] == (1, 1)
+
+
+def test_pii_card_stats_duckdb_twin(spark):
+    """Spark column-native Luhn == the DuckDB list-lambda replay on the
+    same rows (the 0-based vs 1-based transform-index trap is exactly
+    what this pins)."""
+    import duckdb
+    import pandas as pd
+
+    from edgar_finance_ontology_spark.operators.textops import (
+        pii_card_stats,
+    )
+    from edgar_finance_ontology_spark.queries import SQL_PII_CARDS
+
+    rows = [
+        (1, "pay 4111-1111-1111-1111 and 378282246310005 now"),
+        (2, "bad 1234567890123456 run"),
+        (3, "nothing numeric"),
+        (4, "edge 4111 1111 1111 1111 spaced"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ours = (
+        pii_card_stats(df).groupBy().agg(
+            F.count("*").alias("n_docs"),
+            F.sum("card_candidates").cast("long").alias("total_candidates"),
+            F.sum("luhn_valid").cast("long").alias("total_luhn_valid"),
+        ).first()
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    ref = con.execute(SQL_PII_CARDS).fetchone()
+    assert (ours["n_docs"], ours["total_candidates"],
+            ours["total_luhn_valid"]) == ref
+
+
 def test_cross_source_overlap_df_cap_bounds_pairs(spark):
     """A gram shared by every doc must not join quadratically when the
     df cap is active."""
