@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "dedup_exact", "minhash_lsh_dedup", "ngram_jaccard_dedup",
     "simhash_dedup", "ann_cosine_topk", "ann_ivf_cell",
     "lang_id", "quality_scores", "token_counts", "token_counts_bpe",
-    "doc_fingerprints",
+    "unigram_surprisal", "doc_fingerprints",
     "gazetteer_mentions", "doc_dup_clusters", "global_topk",
     "embedding_near_dup", "repetition_scores", "cross_source_overlap",
     "pii_scrub_stats", "pii_card_stats", "stratified_sample",

@@ -113,6 +113,66 @@ def quality_scores(df: DataFrame, text_col: str = "text",
     )
 
 
+def unigram_surprisal_scores(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             vocab_size: int = 50_000) -> DataFrame:
+    """Unigram-LM "perplexity filter" (the CCNet-style quality gate,
+    honest in-container variant: a corpus-fit unigram model instead of
+    a shipped KenLM): per document, the mean token surprisal under the
+    corpus's own unigram distribution. Gibberish / rare-token soup
+    scores HIGH (every token surprising), boilerplate scores LOW.
+
+    Surprisal is quantized to INTEGER BITS — floor(log2(total/freq)) —
+    so the score is engine-portable: JVM and libm transcendentals
+    differ by 1 ulp (a known cross-engine hash killer), but
+    floor(log2(x)) only flips where x is an exact power of two, and
+    there log2 is exact in any IEEE implementation. OOV tokens cost
+    floor(log2(total)) + 1 bits (one bit past the rarest possible
+    in-vocab token).
+
+    100-TB posture: vocabulary fit is one token-keyed aggregation with
+    map-side combine, capped at `vocab_size` rows (deterministic
+    count-desc/token-asc top-K, TakeOrdered — never a full sort), then
+    BROADCAST to the scoring join; scoring shuffles token rows only
+    for the per-doc aggregation, which partial-aggregates to ~one row
+    per (partition, doc) before the exchange."""
+    from .dedup import tokens_col
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    ).where(F.col("token") != "")
+    freqs = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    total_row = freqs.agg(
+        F.sum("freq").alias("total"), F.count("*").alias("n_distinct")
+    ).first()
+    total = int(total_row["total"] or 0)
+    if total == 0:
+        return df.sparkSession.createDataFrame(
+            [], "id long, n_tokens int, oov_tokens int, "
+                "sum_surprisal_bits long, mean_surprisal_bits double"
+        )
+    vocab = freqs.orderBy(
+        F.col("freq").desc(), F.col("token").asc()
+    ).limit(vocab_size)
+    oov_bits = int(total).bit_length()  # floor(log2(total)) + 1
+    scored = toks.join(F.broadcast(vocab), "token", "left").select(
+        "id",
+        F.coalesce(
+            F.floor(F.log2(F.lit(float(total)) / F.col("freq"))),
+            F.lit(oov_bits),
+        ).cast("long").alias("bits"),
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.sum(F.when(F.col("bits") == oov_bits, 1).otherwise(0))
+        .cast("int").alias("oov_tokens"),
+        F.sum("bits").alias("sum_surprisal_bits"),
+        F.round(F.sum("bits") / F.count("*"), 6)
+        .alias("mean_surprisal_bits"),
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  tokenizer: str = "proxy",

@@ -803,6 +803,45 @@ FROM documents
 """
 
 
+def q_unigram_surprisal(spark, sf):
+    """Unigram-LM perplexity-filter scores (integer-bit surprisal,
+    corpus-fit vocab) per document."""
+    from .operators.textops import unigram_surprisal_scores
+
+    d = _t(spark, sf, "documents")
+    return unigram_surprisal_scores(d).orderBy("id")
+
+
+SQL_SURPRISAL = r"""
+WITH tl AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents),
+t2 AS (SELECT * FROM tl WHERE token <> ''),
+freqs AS (SELECT token, count(*) AS freq FROM t2 GROUP BY 1),
+tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total,
+               CAST(floor(log2(CAST(sum(freq) AS DOUBLE))) AS BIGINT) + 1
+                 AS oov_bits
+        FROM freqs),
+vocab AS (SELECT token, freq FROM freqs
+          ORDER BY freq DESC, token LIMIT 50000),
+scored AS (
+  SELECT t2.id,
+         CASE WHEN v.freq IS NULL THEN tot.oov_bits
+              ELSE CAST(floor(log2(CAST(tot.total AS DOUBLE) / v.freq))
+                        AS BIGINT) END AS bits
+  FROM t2 LEFT JOIN vocab v USING (token), tot)
+SELECT id,
+       CAST(count(*) AS INT) AS n_tokens,
+       CAST(sum(CASE WHEN bits = (SELECT oov_bits FROM tot)
+                THEN 1 ELSE 0 END) AS INT) AS oov_tokens,
+       CAST(sum(bits) AS BIGINT) AS sum_surprisal_bits,
+       round(CAST(sum(bits) AS DOUBLE) / count(*), 6) + 0
+         AS mean_surprisal_bits
+FROM scored GROUP BY id ORDER BY id
+"""
+
+
 def q_token_counts_bpe(spark, sf):
     """REAL byte-level BPE piece counts (functions/bpe.py) per
     document, under the committed 16-merge table — truncated so the
@@ -1277,6 +1316,7 @@ QUERIES = {
     "quality_scores": (q_quality, SQL_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKENS),
     "token_counts_bpe": (q_token_counts_bpe, SQL_TOKENS_BPE),
+    "unigram_surprisal": (q_unigram_surprisal, SQL_SURPRISAL),
     "doc_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "gazetteer_mentions": (q_gazetteer_mentions, SQL_GAZETTEER),
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_CLUSTERS),

@@ -174,6 +174,36 @@ def test_pii_card_stats_duckdb_twin(spark):
             ours["total_luhn_valid"]) == ref
 
 
+def test_unigram_surprisal_semantics(spark):
+    """Rare-token soup must out-score boilerplate; the vocab cap makes
+    tail tokens OOV with a deterministic one-bit-past-rarest cost."""
+    from edgar_finance_ontology_spark.operators.textops import (
+        unigram_surprisal_scores,
+    )
+
+    common = "the quick brown fox jumps over the lazy dog the the the"
+    docs = (
+        [(i, common) for i in range(8)]
+        + [(100, "zqxv kjhw pflm wvnb xrtk")]  # five singletons
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: r for r in unigram_surprisal_scores(df).collect()}
+    assert got[100]["mean_surprisal_bits"] > got[0]["mean_surprisal_bits"]
+    assert got[0]["oov_tokens"] == 0
+    # with vocab capped below the distinct-token count, the rarest
+    # tokens fall out and get charged the fixed OOV cost
+    capped = {r["id"]: r
+              for r in unigram_surprisal_scores(df, vocab_size=5).collect()}
+    assert capped[100]["oov_tokens"] == 5
+    total = sum(r["n_tokens"] for r in got.values())
+    oov_bits = total.bit_length()
+    assert capped[100]["sum_surprisal_bits"] == 5 * oov_bits
+    # deterministic across repeated fits
+    again = {r["id"]: r["sum_surprisal_bits"]
+             for r in unigram_surprisal_scores(df, vocab_size=5).collect()}
+    assert again == {k: v["sum_surprisal_bits"] for k, v in capped.items()}
+
+
 def test_cross_source_overlap_df_cap_bounds_pairs(spark):
     """A gram shared by every doc must not join quadratically when the
     df cap is active."""
