@@ -1,0 +1,158 @@
+"""Column-native URL canonicalization for the web-page pipeline — the
+normalize-before-dedup stage every Common-Crawl-scale crawl needs
+(distinct fetch URLs, same logical page). NO UDFs: everything is
+`parse_url` + array HOFs, so it stays inside whole-stage codegen and
+scales as a pure map.
+
+Canonical form:
+  * scheme + host lowercased, leading "www." dropped
+  * default ports stripped (:80 for http, :443 for https)
+  * fragment dropped
+  * tracking query params dropped (utm_*, fbclid, gclid, msclkid,
+    ref, and session-id shapes), remaining params sorted bytewise
+  * trailing slash stripped from non-root paths; empty path -> "/"
+
+`registrable_domain` is a public-suffix HEURISTIC (last two labels,
+or three when the last two are a well-known multi-part suffix like
+co.uk) — the full Mozilla PSL is an external artifact this container
+deliberately doesn't ship; the hook is the `extra_suffixes` argument.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# query-param names that identify a click, not a resource
+TRACKING_PARAM_RE = (
+    r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src"
+    r"|spm|s_kwcid|sessionid|session_id|phpsessid|jsessionid|sid)="
+)
+
+# well-known multi-part public suffixes (heuristic subset; the full
+# PSL is external data)
+MULTIPART_SUFFIXES = [
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk",
+    "com.au", "net.au", "org.au", "co.nz",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.br", "com.mx", "com.ar", "com.co",
+    "co.in", "net.in", "org.in",
+    "com.cn", "net.cn", "org.cn", "com.hk", "com.tw", "com.sg",
+    "co.kr", "co.za", "com.tr",
+]
+
+
+def _host(url: Column) -> Column:
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def canonical_host(url: Column) -> Column:
+    """lowercased host, leading www. dropped."""
+    h = _host(url)
+    return F.regexp_replace(h, r"^www\.", "")
+
+
+def _canonical_query(url: Column) -> Column:
+    """tracking params dropped, survivors sorted bytewise; NULL when
+    nothing survives."""
+    q = F.parse_url(url, F.lit("QUERY"))
+    parts = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    joined = F.array_join(F.array_sort(parts), "&")
+    return F.when(
+        q.isNotNull() & (F.size(parts) > 0), joined
+    )
+
+
+def _canonical_path(url: Column) -> Column:
+    p = F.parse_url(url, F.lit("PATH"))
+    stripped = F.regexp_replace(F.coalesce(p, F.lit("")), r"/+$", "")
+    return F.when(stripped == "", F.lit("/")).otherwise(stripped)
+
+
+def canonical_url(url: Column) -> Column:
+    """The canonical form above; NULL for rows parse_url can't read
+    (no scheme/host) so callers can route garbage rows explicitly
+    instead of silently clustering them under one key."""
+    u = F.trim(url)
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = canonical_host(u)
+    # parse_url keeps an explicit port inside HOST? No — HOST excludes
+    # the port; re-read it separately and keep only non-default ones.
+    port = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*:(\d+)", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    q = _canonical_query(u)
+    return F.when(
+        scheme.isNotNull() & host.isNotNull() & (host != ""),
+        F.concat(
+            scheme, F.lit("://"), host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            _canonical_path(u),
+            F.when(q.isNotNull(), F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        ),
+    )
+
+
+def registrable_domain(url: Column,
+                       extra_suffixes: list[str] | None = None) -> Column:
+    """eTLD+1 heuristic: last 2 host labels, or 3 when the final 2 are
+    a known multi-part suffix."""
+    suffixes = MULTIPART_SUFFIXES + list(extra_suffixes or [])
+    labels = F.split(canonical_host(url), r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    return F.when(n <= 2, F.concat_ws(".", labels)).otherwise(
+        F.when(last2.isin(suffixes), last3).otherwise(last2)
+    )
+
+
+def canonicalize_pages(pages: DataFrame,
+                       url_col: str = "url") -> DataFrame:
+    """pages + canonical_url + domain columns (pure map — no shuffle,
+    no UDF; an optional pre-stage before the web pipeline's dedup)."""
+    u = F.col(url_col)
+    return pages.withColumn("canonical_url", canonical_url(u)) \
+                .withColumn("domain", registrable_domain(u))
+
+
+def url_dedup(pages: DataFrame, url_col: str = "url",
+              ts_col: str = "warc_ts") -> DataFrame:
+    """ONE row per canonical URL: earliest capture wins, raw url as
+    the deterministic tie-break (re-crawls and tracking-param variants
+    collapse). Rows whose URL doesn't canonicalize keep their raw url
+    as the key, so nothing is dropped silently. One hash shuffle on
+    the canonical key — the same partitioning a downstream
+    bucket-by-url join can reuse."""
+    d = canonicalize_pages(pages, url_col)
+    key = F.coalesce(F.col("canonical_url"), F.col(url_col))
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts_col).asc(), F.col(url_col).asc()
+    )
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def domain_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(domain, n_pages, n_canonical_urls) — crawl-health counters."""
+    d = canonicalize_pages(pages, url_col)
+    return d.groupBy("domain").agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct(
+            F.coalesce(F.col("canonical_url"), F.col(url_col))
+        ).alias("n_canonical_urls"),
+    )

@@ -1,0 +1,132 @@
+"""URL canonicalization / dedup / domain stats (functions/urls.py) —
+column-native (no UDF), the normalize-before-dedup stage of the web
+pipeline."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from edgar_finance_ontology_spark.functions.urls import (
+    canonical_url, canonicalize_pages, domain_stats, registrable_domain,
+    url_dedup,
+)
+
+
+def _canon(spark, url: str):
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(canonical_url(F.col("url")).alias("c")).first()["c"]
+
+
+def test_canonical_url_cases(spark):
+    cases = {
+        # case, default port, www, fragment, tracking params, param sort
+        "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag":
+            "http://example.com/a/b?a=1&b=2",
+        # non-default port survives
+        "https://news.example.co.uk:8443/path/":
+            "https://news.example.co.uk:8443/path",
+        # bare host -> rooted path
+        "https://example.com": "https://example.com/",
+        # session id dropped entirely -> no query
+        "https://host.com/p?PHPSESSID=abc".lower():
+            "https://host.com/p",
+        # already canonical stays fixed (idempotence spot check)
+        "https://example.com/x?a=1": "https://example.com/x?a=1",
+    }
+    for raw, want in cases.items():
+        assert _canon(spark, raw) == want, raw
+    # garbage -> NULL (caller routes explicitly)
+    assert _canon(spark, "not a url") is None
+
+
+def test_canonical_url_idempotent(spark):
+    raws = [
+        "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+        "https://news.example.co.uk:8443/path/",
+        "https://example.com",
+        "https://h.com/p?z=1&y=2&utm_campaign=q",
+    ]
+    df = spark.createDataFrame([(u,) for u in raws], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("url"))
+    twice = once.select(canonical_url(F.col("url")).alias("url"))
+    assert [r["url"] for r in once.collect()] == \
+        [r["url"] for r in twice.collect()]
+
+
+def test_registrable_domain_heuristic(spark):
+    cases = {
+        "https://www.example.com/x": "example.com",
+        "https://a.b.news.example.co.uk/": "example.co.uk",
+        "https://deep.sub.host.org/": "host.org",
+        "https://localhost/": "localhost",
+    }
+    df = spark.createDataFrame(list(cases.items()), "url string, want string")
+    for r in df.select(
+        registrable_domain(F.col("url")).alias("got"), "want"
+    ).collect():
+        assert r["got"] == r["want"]
+
+
+def test_url_dedup_earliest_capture_wins(spark):
+    t0 = dt.datetime(2025, 1, 1)
+    t1 = dt.datetime(2025, 1, 2)
+    rows = [
+        # same logical page: tracking variant + www + recrawl
+        ("https://example.com/page?utm_source=feed", t1, b"late"),
+        ("https://WWW.example.com/page", t0, b"early"),
+        # distinct page survives
+        ("https://example.com/other", t0, b"other"),
+        # garbage url keeps its raw key, not silently merged
+        ("garbage-one", t0, b"g1"),
+        ("garbage-two", t0, b"g2"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    out = url_dedup(df).collect()
+    keys = {(r["canonical_url"] or r["url"]): bytes(r["html"]) for r in out}
+    assert len(out) == 4
+    assert keys["https://example.com/page"] == b"early"
+    assert keys["https://example.com/other"] == b"other"
+    assert keys["garbage-one"] == b"g1" and keys["garbage-two"] == b"g2"
+
+
+def test_url_dedup_single_shuffle_plan(spark):
+    """Canonicalization is a pure map: the dedup plan must contain
+    exactly one hash exchange (the window key), none for the
+    canonical columns themselves."""
+    rows = [(f"https://e.com/{i}", dt.datetime(2025, 1, 1), b"x")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    plan = url_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_domain_stats(spark):
+    t = dt.datetime(2025, 1, 1)
+    rows = [
+        ("https://a.example.com/1", t, b""),
+        ("https://b.example.com/1?utm_source=x", t, b""),
+        ("https://b.example.com/1", t, b""),   # same canonical as above
+        ("https://other.org/", t, b""),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    got = {r["domain"]: (r["n_pages"], r["n_canonical_urls"])
+           for r in domain_stats(df).collect()}
+    assert got["example.com"] == (3, 2)
+    assert got["other.org"] == (1, 1)
+
+
+def test_canonicalize_pages_on_synthesized_panel(spark):
+    """The pipeline's own synthetic pages are already canonical modulo
+    nothing — canonicalization must be a no-op on them (guards against
+    the pre-stage ever corrupting flagship inputs)."""
+    from edgar_finance_ontology_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, n_companies=4, n_buckets=2)
+    d = canonicalize_pages(pages)
+    diff = d.where(
+        F.col("canonical_url") != F.col("url")
+    ).count()
+    assert diff == 0
