@@ -138,6 +138,27 @@ def stream_dedup_exact(
     )
 
 
+def stream_url_dedup(
+    pages_stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming URL-level dedup at ingest: first capture per CANONICAL
+    url (functions/urls.py — tracking-param variants, www/port/case
+    noise, recrawl storms collapse) within the watermark horizon.
+    Canonicalization is a pure map, so the only state is the bounded
+    key set dropDuplicatesWithinWatermark keeps; URLs that don't
+    canonicalize keep their raw string as the key — never silently
+    merged under NULL."""
+    from ..functions.urls import canonical_url
+
+    keyed = pages_stream.withColumn(
+        "url_key", F.coalesce(canonical_url(F.col("url")), F.col("url"))
+    )
+    return (
+        keyed.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url_key"])
+    )
+
+
 def mention_triples_frame(pages: DataFrame) -> DataFrame:
     """Per-page mention/provenance triples: (subj=page IRI, pred,
     obj, begin) — one row per gazetteer hit. PAGE-LOCAL by

@@ -339,6 +339,51 @@ def test_stream_dedup_exact_across_microbatches(spark, tmp_path):
     assert all(r["n"] == 1 for r in got)
 
 
+def test_stream_url_dedup_canonical_collapse(spark, tmp_path):
+    """Tracking-param / www variants of one page arriving in different
+    microbatches collapse to the canonical key; distinct pages and
+    unparseable urls all survive."""
+    import datetime as dt
+
+    from edgar_finance_ontology_spark.sources.schemas import PAGES_SCHEMA
+    from edgar_finance_ontology_spark.streaming.pages_stream import (
+        read_pages_stream, stream_url_dedup,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    base = dt.datetime(2025, 3, 1, 12, 0, 0)
+    files = [
+        [("https://x.example/page", base, None, "a", "en"),
+         ("https://x.example/other", base, None, "b", "en")],
+        [("https://WWW.x.example/page?utm_source=f", base, None, "a2", "en"),
+         ("not a url", base, None, "c", "en")],
+        [("https://x.example/page/", base, None, "a3", "en")],
+    ]
+    for rows in files:
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(pages_dir)
+
+    out = stream_url_dedup(read_pages_stream(spark, pages_dir))
+    q = (
+        out.writeStream.format("memory").queryName("url_dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT url_key, count(*) AS n FROM url_dedup_stream GROUP BY 1"
+    ).collect()
+    keys = {r["url_key"]: r["n"] for r in got}
+    assert keys == {
+        "https://x.example/page": 1,
+        "https://x.example/other": 1,
+        "not a url": 1,
+    }
+
+
 def _box(typ: bytes, payload: bytes) -> bytes:
     import struct
 
