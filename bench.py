@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "gazetteer_mentions", "doc_dup_clusters", "global_topk",
     "embedding_near_dup", "repetition_scores", "cross_source_overlap",
     "pii_scrub_stats", "pii_card_stats", "stratified_sample",
-    "quality_funnel",
+    "mix_token_budgets", "quality_funnel",
     "pack_token_shards",
 ]
 

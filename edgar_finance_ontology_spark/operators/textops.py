@@ -451,6 +451,43 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return df.where(frac < rate)
 
 
+def mix_to_token_budgets(df: DataFrame, token_budgets: dict[str, int],
+                         text_col: str = "text",
+                         strata_col: str = "source",
+                         id_col: str = "doc_id",
+                         default_rate: float = 0.0) -> DataFrame:
+    """Deterministic corpus MIXING to per-source token budgets — the
+    "30% code / 70% web" knob expressed as absolute token targets.
+
+    One aggregation computes each source's total whitespace tokens
+    (map-side combined, K result rows to the driver); keep-rate =
+    min(1, budget/total) per source (sources without a budget get
+    `default_rate`, 0.0 = drop); then the SAME hash-threshold rule as
+    stratified_sample selects documents. The decision stays a pure
+    function of the doc id, so retries/appends/re-runs keep the same
+    documents, and the data-path plan is a narrow filter — the only
+    shuffle is the K-row totals agg. Kept tokens CONCENTRATE around
+    the budget (uniform doc sampling within a source); exact-budget
+    cutting is pack_token_shards' job downstream."""
+    from .dedup import tokens_col
+
+    totals = {
+        r["_src"]: r["_tok"]
+        for r in df.groupBy(F.col(strata_col).alias("_src")).agg(
+            F.sum(F.size(tokens_col(F.col(text_col)))).alias("_tok")
+        ).collect()
+    }
+    rates = {}
+    for src, total in totals.items():
+        budget = token_budgets.get(src)
+        if budget is not None and total:
+            rates[src] = min(1.0, budget / total)
+        else:
+            rates[src] = float(default_rate)
+    return stratified_sample(df, rates, strata_col, id_col,
+                             default_rate=default_rate)
+
+
 def quality_funnel(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", lang_col: str = "lang",
                    allowed_langs: tuple = ("en",),

@@ -1206,6 +1206,56 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def q_mix_token_budgets(spark, sf):
+    """Corpus mixing to absolute per-source token budgets (src0 capped
+    at 3000 tokens, src1 at 1200, everything else dropped); per-source
+    summary of what survived."""
+    from .operators.textops import mix_to_token_budgets
+    from .operators.dedup import tokens_col
+
+    d = _t(spark, sf, "documents")
+    kept = mix_to_token_budgets(
+        d, {"src0": 3000, "src1": 1200}, default_rate=0.0
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(F.size(tokens_col(F.col("text"))))
+            .cast("long").alias("kept_tokens"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+# the twin re-derives the SAME rates (min(1, budget/total) in IEEE
+# double — both engines divide exact integers) and replays the hash
+# threshold
+SQL_MIX = r"""
+WITH tot AS (
+  SELECT source,
+         sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS t
+  FROM documents GROUP BY 1),
+r AS (
+  SELECT source,
+         CASE WHEN source = 'src0' THEN least(1.0, 3000 / CAST(t AS DOUBLE))
+              WHEN source = 'src1' THEN least(1.0, 1200 / CAST(t AS DOUBLE))
+              ELSE 0.0 END AS rate
+  FROM tot),
+s AS (
+  SELECT d.*, (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+              / 4294967296.0 AS frac, r.rate
+  FROM documents d JOIN r USING (source))
+SELECT source, count(*) AS n_kept,
+       CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+            AS BIGINT) AS kept_tokens,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM s WHERE frac < rate GROUP BY 1 ORDER BY 1
+"""
+
+
 SQL_STRATIFIED = """
 WITH s AS (
   SELECT *, (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
@@ -1327,6 +1377,7 @@ QUERIES = {
     "pii_scrub_stats": (q_pii_scrub, SQL_PII),
     "pii_card_stats": (q_pii_cards, SQL_PII_CARDS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
+    "mix_token_budgets": (q_mix_token_budgets, SQL_MIX),
     "quality_funnel": (q_quality_funnel, SQL_FUNNEL),
     "pack_token_shards": (q_pack_shards, SQL_PACK),
 }

@@ -174,6 +174,43 @@ def test_pii_card_stats_duckdb_twin(spark):
             ours["total_luhn_valid"]) == ref
 
 
+def test_mix_to_token_budgets(spark):
+    """Per-source keep-rates derive from token budgets; selection is
+    the reproducible hash rule; unbudgeted sources obey default_rate."""
+    from edgar_finance_ontology_spark.operators.textops import (
+        mix_to_token_budgets,
+    )
+
+    docs = (
+        [(i, "w " * 100, "en", "big", 0) for i in range(50)]       # 5000 tok
+        + [(100 + i, "w " * 10, "en", "small", 0) for i in range(5)]  # 50
+        + [(200 + i, "x", "en", "other", 0) for i in range(5)]
+    )
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    kept = mix_to_token_budgets(
+        df, {"big": 1000, "small": 10_000}, default_rate=0.0
+    )
+    rows = kept.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # small's budget exceeds its total -> rate 1.0, everything kept
+    assert sorted(by_src["small"]) == [100 + i for i in range(5)]
+    # unbudgeted source dropped entirely
+    assert "other" not in by_src
+    # big is down-sampled to ~1000/5000 = 20% of docs (hash-uniform)
+    assert 3 <= len(by_src["big"]) <= 20
+    # reproducible: second run keeps the identical documents
+    again = sorted(
+        r["doc_id"] for r in mix_to_token_budgets(
+            df, {"big": 1000, "small": 10_000}, default_rate=0.0
+        ).collect() if r["source"] == "big"
+    )
+    assert again == sorted(by_src["big"])
+
+
 def test_unigram_surprisal_semantics(spark):
     """Rare-token soup must out-score boilerplate; the vocab cap makes
     tail tokens OOV with a deterministic one-bit-past-rarest cost."""
