@@ -1106,8 +1106,8 @@ FROM hits GROUP BY 1 ORDER BY 1
 
 
 def q_pii_scrub(spark, sf):
-    """PII masking sweep stats over the corpus (emails/SSNs/IPs/phone
-    runs -> tokens); returns the corpus-level scrub summary."""
+    """PII masking sweep stats over the corpus (emails/cards/IBANs/
+    SSNs/IPs/phones/addresses -> tokens); corpus-level scrub summary."""
     from .operators.textops import pii_scrub
 
     d = _t(spark, sf, "documents")
