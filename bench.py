@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "pivot_events", "composite_rank", "sessionize", "json_props",
     "dedup_exact", "minhash_lsh_dedup", "ngram_jaccard_dedup",
     "simhash_dedup", "ann_cosine_topk", "ann_ivf_cell",
+    "ann_ivf_multiprobe",
     "lang_id", "quality_scores", "token_counts", "token_counts_bpe",
     "unigram_surprisal", "doc_fingerprints",
     "gazetteer_mentions", "doc_dup_clusters", "global_topk",

@@ -70,6 +70,140 @@ def brute_force_topk(
     )
 
 
+def _dist2_to(vec, centroid: list[float]):
+    """Sequential-fold squared distance to a literal centroid —
+    bit-identical across Spark's aggregate fold, DuckDB's list_sum,
+    and a plain Python loop (verified empirically on 64-dim data)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cell_assign_col(vec, centroids: list[list[float]]):
+    """argmin cell id for `vec` over literal centroids; ties break to
+    the LOWEST cell id (array_position returns the first match)."""
+    dists = F.array(*[_dist2_to(vec, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_fit(embeddings: DataFrame, k: int = 8, iters: int = 3,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic distributed Lloyd's iterations — the REAL coarse
+    quantizer for the IVF family (cell ids trained from the data, not
+    a stand-in label column). Returns the k centroids as plain Python
+    lists (the MODEL — k×dim driver floats, not data).
+
+    Determinism contract (what makes the DuckDB twin replayable and
+    re-runs reproducible regardless of partitioning):
+      * init = deterministic FARTHEST-FIRST traversal: seed 0 is the
+        lowest-id vector, seed j maximizes the distance to its nearest
+        already-chosen seed (ties to the lowest id). Naive "k lowest
+        ids" seeding put adjacent seeds inside one cluster and Lloyd's
+        stabilized on a degenerate mid-point split (caught by the
+        two-blob test); farthest-first is the standard deterministic
+        fix and costs k-1 extra TakeOrdered passes at fit time only;
+      * assignment = sequential-fold squared distance, ties to the
+        lowest cell id;
+      * update = per-dimension EXACT DECIMAL(38,15) sums (decimal
+        addition is associative — row order cannot change the result,
+        unlike double sums) converted to double means;
+      * an emptied cluster keeps its previous centroid.
+
+    100-TB posture: each iteration is ONE map-side-combined
+    aggregation; the k×(dim+1) result rows come to the driver (the
+    model update is inherently driver-side and tiny). At 10^12 rows
+    you fit on a hash-sampled subset (stratified_sample) and assign
+    everywhere — same code path, the fit input is just smaller."""
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    first = e.orderBy("id").limit(1).collect()
+    cents = [list(first[0]["v"])]
+    for _ in range(k - 1):
+        mind = F.array_min(
+            F.array(*[_dist2_to(F.col("v"), s) for s in cents])
+        )
+        far = (
+            e.select("id", "v", mind.alias("d"))
+            .orderBy(F.col("d").desc(), F.col("id").asc())
+            .limit(1)
+            .collect()
+        )
+        cents.append(list(far[0]["v"]))
+    dim = len(cents[0])
+    for _ in range(iters):
+        cell = cell_assign_col(F.col("v"), cents)
+        aggs = [F.count("*").alias("n")] + [
+            F.sum(F.element_at(F.col("v"), d + 1).cast("decimal(38,15)"))
+            .alias(f"s{d}")
+            for d in range(dim)
+        ]
+        rows = e.select(cell.alias("cell"), "v").groupBy("cell").agg(*aggs) \
+                .collect()
+        new = [list(c) for c in cents]
+        for r in rows:
+            n = r["n"]
+            new[r["cell"]] = [float(r[f"s{d}"]) / n for d in range(dim)]
+        cents = new
+    return cents
+
+
+def ann_ivf_multiprobe(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with multi-probe: each query searches its `nprobe` NEAREST
+    trained cells (ranked by centroid distance, ties to lower cell id)
+    instead of only its own — the recall/cost knob real IVF indexes
+    ship. The corpus side is partitioned by trained cell; the join key
+    is the cell id, so the plan stays a broadcast/co-partitioned equi
+    join with fan-out nprobe per query, never a cross join."""
+    kc = len(centroids)
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("ev"),
+    ).withColumn("cell", cell_assign_col(F.col("ev"), centroids))
+    qv = F.col("qv")
+    dists = F.array(*[_dist2_to(qv, c) for c in centroids])
+    ranked = F.transform(
+        F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(kc - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        ),
+        lambda s: s["i"].cast("int"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("cell", F.explode(F.slice(ranked, 1, nprobe)))
+    j = e.join(F.broadcast(q), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    j = j.withColumn("cos", cosine_col(F.col("qv"), F.col("ev")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cell",
+                F.round("cos", 6).alias("cos"))
+    )
+
+
 def cell_topk(
     embeddings: DataFrame,
     queries: DataFrame,

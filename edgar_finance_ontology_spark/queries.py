@@ -698,6 +698,108 @@ FROM r WHERE rank <= 3 ORDER BY query_id, rank
 """
 
 
+def q_ann_ivf_multiprobe(spark, sf):
+    """REAL trained IVF: deterministic Lloyd's k-means coarse
+    quantizer (k=8, 2 iterations, decimal-exact centroid updates) fit
+    on the embeddings, then multi-probe search — each of the 10
+    lowest-vec_id queries probes its 2 nearest cells, top-3 cosine
+    neighbors overall."""
+    from .operators.similarity import ann_ivf_multiprobe, kmeans_fit
+
+    e = _t(spark, sf, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=2)
+    q = e.orderBy("vec_id").limit(10)
+    return ann_ivf_multiprobe(e, q, cents, k=3, nprobe=2) \
+        .orderBy("query_id", "rank")
+
+
+def _sql_ivf_multiprobe(k: int = 8, iters: int = 2, dim: int = 64,
+                        nq: int = 10, nprobe: int = 2,
+                        topk: int = 3) -> str:
+    """The DuckDB twin REPLAYS the whole k-means fit (iterations
+    unrolled at SQL-generation time): init = k lowest-id vectors,
+    assignment by sequential-fold squared distance (list_sum matches
+    Spark's aggregate fold bit-for-bit — verified), centroid update by
+    exact DECIMAL(38,15) per-dimension sums cast to double means —
+    the same arithmetic contract the Spark fit documents."""
+    d2 = ("list_sum(list_transform(list_zip({v}, {c}), "
+          "t -> (t[1]-t[2])*(t[1]-t[2])))")
+    parts = [
+        "WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) "
+        "AS v FROM embeddings)",
+        "seed0 AS (SELECT v FROM base ORDER BY id LIMIT 1)",
+    ]
+    # farthest-first traversal, one CTE per seed: maximize the min
+    # distance to every previously chosen seed (ties -> lowest id)
+    for j in range(1, k):
+        prev_d2 = ", ".join(
+            d2.format(v="b.v", c=f"s{i}.c")
+            for i in range(j)
+        )
+        prev_from = ", ".join(
+            f"(SELECT v AS c FROM seed{i}) s{i}" for i in range(j)
+        )
+        mind = f"least({prev_d2})" if j > 1 else prev_d2
+        parts.append(
+            f"seed{j} AS (SELECT b.v FROM base b, {prev_from} "
+            f"ORDER BY {mind} DESC, b.id ASC LIMIT 1)"
+        )
+    init_union = " UNION ALL ".join(
+        f"SELECT {j} AS cell, v AS c FROM seed{j}" for j in range(k)
+    )
+    parts.append(f"c0 AS ({init_union})")
+    for it in range(iters):
+        prev, nxt = f"c{it}", f"c{it + 1}"
+        assign_d2 = d2.format(v="b.v", c="c.c")
+        parts.append(f"""a{it} AS (
+  SELECT id, v, cell FROM (
+    SELECT b.id, b.v, c.cell,
+           row_number() OVER (PARTITION BY b.id
+                              ORDER BY {assign_d2} ASC, c.cell ASC) AS rn
+    FROM base b, {prev} c) x WHERE rn = 1)""")
+        parts.append(f"""s{it} AS (
+  SELECT a.cell, t.i, sum(CAST(a.v[t.i] AS DECIMAL(38,15))) AS s,
+         count(*) AS n
+  FROM a{it} a, range(1, {dim + 1}) t(i) GROUP BY 1, 2)""")
+        parts.append(f"""{nxt} AS (
+  SELECT {prev}.cell, coalesce(u.c, {prev}.c) AS c
+  FROM {prev} LEFT JOIN (
+    SELECT cell, list(CAST(s AS DOUBLE) / n ORDER BY i) AS c
+    FROM s{it} GROUP BY cell) u USING (cell))""")
+    fin = f"c{iters}"
+    probe_d2 = d2.format(v="q.v", c="c.c")
+    final_d2 = d2.format(v="b.v", c="c.c")
+    parts.append(
+        f"qsel AS (SELECT id, v FROM base ORDER BY id LIMIT {nq})"
+    )
+    parts.append(f"""probe AS (
+  SELECT id AS query_id, v AS qv, cell FROM (
+    SELECT q.id, q.v, c.cell,
+           row_number() OVER (PARTITION BY q.id
+                              ORDER BY {probe_d2} ASC, c.cell ASC) AS rn
+    FROM qsel q, {fin} c) x WHERE rn <= {nprobe})""")
+    parts.append(f"""asg AS (
+  SELECT id, v, cell FROM (
+    SELECT b.id, b.v, c.cell,
+           row_number() OVER (PARTITION BY b.id
+                              ORDER BY {final_d2} ASC, c.cell ASC) AS rn
+    FROM base b, {fin} c) x WHERE rn = 1)""")
+    return ",\n".join(parts) + f"""
+SELECT query_id, rank, neighbor_id, cell, round(cos, 6) AS cos FROM (
+  SELECT p.query_id, a.id AS neighbor_id, a.cell,
+         list_cosine_similarity(p.qv, a.v) AS cos,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.id ASC
+         ) AS rank
+  FROM probe p JOIN asg a ON a.cell = p.cell AND a.id <> p.query_id) x
+WHERE rank <= {topk} ORDER BY query_id, rank
+"""
+
+
+SQL_ANN_IVF_MULTIPROBE = _sql_ivf_multiprobe()
+
+
 def q_lang_id(spark, sf):
     from .operators.textops import lang_id
 
@@ -1362,6 +1464,7 @@ QUERIES = {
     "simhash_dedup": (q_simhash, SQL_SIMHASH),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
     "ann_ivf_cell": (q_ann_ivf_cell, SQL_ANN_IVF),
+    "ann_ivf_multiprobe": (q_ann_ivf_multiprobe, SQL_ANN_IVF_MULTIPROBE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_scores": (q_quality, SQL_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKENS),

@@ -1,0 +1,91 @@
+"""Trained IVF coarse quantizer (operators/similarity.py:
+kmeans_fit / cell_assign_col / ann_ivf_multiprobe)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from edgar_finance_ontology_spark.operators.similarity import (
+    ann_ivf_multiprobe, cell_assign_col, kmeans_fit,
+)
+
+
+def _blob_df(spark):
+    """Two tight, well-separated 2-D blobs (ids 0-4 near (0,0),
+    ids 10-14 near (10,10))."""
+    rows = [(i, [0.0 + i * 0.01, 0.0 - i * 0.01]) for i in range(5)]
+    rows += [(10 + i, [10.0 + i * 0.01, 10.0 - i * 0.01]) for i in range(5)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_separates_blobs(spark):
+    df = _blob_df(spark)
+    cents = kmeans_fit(df, k=2, iters=3)
+    # one centroid per blob, near the blob means
+    cents = sorted(cents)
+    assert abs(cents[0][0]) < 1 and abs(cents[1][0] - 10) < 1
+    cells = df.select(
+        "vec_id", cell_assign_col(F.col("embedding"), cents).alias("cell")
+    ).collect()
+    by_cell = {}
+    for r in cells:
+        by_cell.setdefault(r["cell"], set()).add(r["vec_id"])
+    assert by_cell[0] == {0, 1, 2, 3, 4}
+    assert by_cell[1] == {10, 11, 12, 13, 14}
+
+
+def test_kmeans_partitioning_invariant(spark):
+    """The decimal-sum update contract: identical centroids (bit for
+    bit) no matter how the input is partitioned — the property a
+    double-sum update does NOT have."""
+    df = _blob_df(spark)
+    a = kmeans_fit(df.repartition(7), k=2, iters=3)
+    b = kmeans_fit(df.coalesce(1), k=2, iters=3)
+    assert a == b
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """With k init points and all mass collapsing onto fewer cells,
+    the emptied cluster's centroid must survive unchanged."""
+    rows = [(0, [0.0, 0.0]), (1, [100.0, 100.0]),
+            (2, [0.1, 0.1]), (3, [0.2, 0.2]), (4, [0.1, 0.2])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=2, iters=2)
+    # cell 1 seeds at (100,100) and keeps its single member; cell 0
+    # absorbs the rest — no NaNs, both centroids finite
+    assert all(all(x == x for x in c) for c in cents)
+    assert abs(cents[1][0] - 100.0) < 1e-9
+
+
+def test_multiprobe_recovers_cross_cell_neighbor(spark):
+    """The recall knob: a query sitting between two cells whose true
+    nearest neighbor is assigned to its SECOND-closest cell is missed
+    at nprobe=1 and found at nprobe=2."""
+    # two HEAVY angular clusters along +x and +y (20 points each, so
+    # two stray vectors barely move the centroids and the Voronoi
+    # boundary stays ~45 degrees); neighbor 20 sits at 48 degrees
+    # (assigned to the +y cell), query 100 at 43 degrees (assigned to
+    # the +x cell) — 20 is the query's by-far-nearest vector but lives
+    # across the cell boundary
+    import math
+
+    def vec(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    rows = [(i, vec(0.05 * i)) for i in range(20)]            # ~0 deg
+    rows += [(30 + i, vec(90.0 - 0.05 * i)) for i in range(20)]  # ~90 deg
+    rows += [(20, vec(48.0))]
+    rows += [(100, vec(43.0))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=2, iters=3)
+    q = df.where(F.col("vec_id") == 100)
+    got1 = ann_ivf_multiprobe(df, q, cents, k=1, nprobe=1).collect()
+    got2 = ann_ivf_multiprobe(df, q, cents, k=1, nprobe=2).collect()
+    cells = {r["vec_id"]: r["cell"] for r in df.select(
+        "vec_id", cell_assign_col(F.col("embedding"), cents).alias("cell")
+    ).collect()}
+    # the scenario is only meaningful if 20 and 100 land in different
+    # cells — assert the setup, then the knob
+    assert cells[20] != cells[100]
+    assert got1[0]["neighbor_id"] != 20
+    assert got2[0]["neighbor_id"] == 20
