@@ -1,0 +1,134 @@
+"""Bloom-filter benchmark decontamination — the constant-memory scale
+path beside the exact inverted-index check (textops.cross_source_overlap).
+
+Why a Bloom here: the exact check shuffles (gram, doc) pairs of BOTH
+corpora. At 10^12 training docs vs a ~10^6-gram held-out benchmark,
+the right plan never shuffles the big side at all: build a bitmap of
+the held-out grams once (size fixed by `m_bits`, NOT by corpus size),
+broadcast the ~MBs of bits to every executor, and flag training grams
+with a pure map. False-positive rate is the classic
+(1 - e^{-kn/m})^k trade (callers size m_bits per held-out set);
+FALSE NEGATIVES ARE IMPOSSIBLE — a doc sharing a gram with the
+held-out set is always flagged (tested). Flagged docs route to the
+exact verifier; the bloom's job is to make the exact check's input
+tiny.
+
+Engineering split: gram hashing runs JVM-side (xxhash64 with k seeds —
+whole-stage codegen, no Python in the hash loop); only the final
+bitmap probe is an Arrow-batched numpy gather (vectorized, no per-row
+Python).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _seed_positions(grams, seed: int, m_bits: int):
+    """Helper scope pins `seed` (a closure over a loop variable would
+    capture its final value; a default-arg lambda would silently bind
+    as (element, index) — the known PySpark HOF trap)."""
+    return F.transform(
+        grams,
+        lambda g: F.pmod(F.xxhash64(g, F.lit(seed)), F.lit(m_bits)),
+    )
+
+
+def _gram_positions(text_col, ngram: int, m_bits: int, k: int):
+    """(grams array, [k position arrays]) per row — column-native:
+    tokens -> sliding shingles (short docs yield no grams) -> seeded
+    xxhash64 bit positions."""
+    from .dedup import tokens_col
+
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - ngram, F.lit(0)))
+    raw = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram))
+    )
+    grams = F.filter(
+        raw, lambda g: F.size(F.split(g, " ")) == ngram
+    )
+    return grams, [
+        _seed_positions(grams, seed, m_bits) for seed in range(k)
+    ]
+
+
+def build_gram_bloom(heldout: DataFrame, text_col: str = "text",
+                     ngram: int = 8, m_bits: int = 1 << 23,
+                     k: int = 4) -> dict:
+    """Fit the bloom on the held-out set: k seeded xxhash64 positions
+    per distinct word n-gram, distinct positions to the driver (at
+    most m_bits values; the bitmap itself is m_bits/8 bytes — for the
+    default 2^23 bits that is 1 MiB regardless of corpus size), packed
+    with numpy. Returns {'bits': bytes, 'm_bits', 'k', 'ngram'}."""
+    import numpy as np
+
+    _, pos_arrays = _gram_positions(F.col(text_col), ngram, m_bits, k)
+    pos = heldout.select(
+        F.explode(F.flatten(F.array(*pos_arrays))).alias("p")
+    ).distinct().collect()
+    bits = np.zeros(m_bits, dtype=bool)
+    if pos:
+        bits[np.array([r["p"] for r in pos], dtype=np.int64)] = True
+    return {
+        "bits": np.packbits(bits).tobytes(),
+        "m_bits": m_bits, "k": k, "ngram": ngram,
+    }
+
+
+def bloom_flag_contaminated(train: DataFrame, bloom: dict,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """(id, n_grams, flagged_grams): per training document, how many
+    word n-grams MIGHT appear in the held-out set (zero false
+    negatives; false positives at the configured bloom rate). Docs
+    with flagged_grams == 0 are PROVABLY clean — only the rest go to
+    the exact verifier."""
+    import numpy as np
+
+    m_bits, k, ngram = bloom["m_bits"], bloom["k"], bloom["ngram"]
+    spark = train.sparkSession
+    bc = spark.sparkContext.broadcast(bloom["bits"])
+
+    grams, pos_arrays = _gram_positions(F.col(text_col), ngram, m_bits, k)
+    slim = train.select(
+        F.col(id_col).alias("id"),
+        F.size(grams).alias("n_grams"),
+        # k position arrays flattened gram-major: gram j occupies
+        # slots j*k .. j*k+k-1 (the probe reshapes to [-1, k])
+        F.when(F.size(grams) == 0, F.array().cast("array<bigint>"))
+        .otherwise(F.flatten(F.transform(
+            F.sequence(F.lit(0), F.size(grams) - 1),
+            lambda j: F.array(*[
+                F.element_at(pa, j + 1) for pa in pos_arrays
+            ]),
+        ))).alias("pos"),
+    )
+    id_type = slim.schema["id"].dataType.simpleString()
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.unpackbits(
+            np.frombuffer(bc.value, dtype=np.uint8)
+        ).astype(bool)
+        for pdf in batches:
+            flagged = []
+            for pos in pdf["pos"]:
+                p = np.asarray(pos, dtype=np.int64)
+                if p.size == 0:
+                    flagged.append(0)
+                    continue
+                hit = bits[p.reshape(-1, k)].all(axis=1)
+                flagged.append(int(hit.sum()))
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "n_grams": pdf["n_grams"],
+                "flagged_grams": flagged,
+            })
+
+    return slim.mapInPandas(
+        probe, f"id {id_type}, n_grams int, flagged_grams int"
+    )
