@@ -451,6 +451,53 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return df.where(frac < rate)
 
 
+def compression_ratios(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       level: int = 6) -> DataFrame:
+    """zlib compression ratio per document — the classic cheap
+    dual-purpose quality signal: near-1.0 ratios mean high-entropy
+    gibberish (random tokens, encoded blobs), very LOW ratios mean
+    templated/repeated boilerplate; natural prose sits in a mid band.
+
+    Runs Arrow-batched (zlib is C-speed; the stdlib call per doc
+    dominates at ~GB/s, and the stage is a pure map — no shuffle, no
+    state). DETERMINISTIC for a fixed zlib version/level, but the
+    byte-exact output is a library implementation detail, so the
+    contract (and the tests) pin ORDERING properties — repeated <
+    prose < random — not exact byte counts, and the op carries no SQL
+    oracle by design (documented, like the other library-backed maps)."""
+    slim = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
+    )
+    id_type = slim.schema["id"].dataType.simpleString()
+
+    def run(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            n_bytes, n_comp, ratio = [], [], []
+            for t in pdf["_text"]:
+                raw = (t or "").encode("utf-8")
+                comp = zlib.compress(raw, level) if raw else b""
+                n_bytes.append(len(raw))
+                n_comp.append(len(comp))
+                ratio.append(
+                    round(len(comp) / len(raw), 6) if raw else None
+                )
+            yield pd.DataFrame({
+                "id": pdf["id"], "n_bytes": n_bytes,
+                "n_compressed": n_comp, "compression_ratio": ratio,
+            })
+
+    return slim.mapInPandas(
+        run,
+        f"id {id_type}, n_bytes int, n_compressed int, "
+        f"compression_ratio double",
+    )
+
+
 def mix_to_token_budgets(df: DataFrame, token_budgets: dict[str, int],
                          text_col: str = "text",
                          strata_col: str = "source",

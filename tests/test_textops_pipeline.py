@@ -174,6 +174,32 @@ def test_pii_card_stats_duckdb_twin(spark):
             ours["total_luhn_valid"]) == ref
 
 
+def test_compression_ratio_ordering(spark):
+    """The signal's contract: repeated boilerplate compresses far
+    below prose, random hex soup compresses worst; empty text yields
+    NULL ratio rather than a division blowup."""
+    import random
+
+    from edgar_finance_ontology_spark.operators.textops import (
+        compression_ratios,
+    )
+
+    rng = random.Random(3)
+    prose = ("the quarterly report shows revenue growth across the "
+             "segments while operating costs remained stable overall ") * 5
+    repeated = "na " * 250
+    noise = " ".join(f"{rng.getrandbits(64):016x}" for _ in range(60))
+    df = spark.createDataFrame(
+        [(1, repeated), (2, prose), (3, noise), (4, "")],
+        "doc_id long, text string")
+    got = {r["id"]: r for r in compression_ratios(df).collect()}
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"] \
+        < got[3]["compression_ratio"]
+    assert got[3]["compression_ratio"] > 0.5
+    assert got[4]["compression_ratio"] is None
+    assert got[2]["n_bytes"] == len(prose.encode())
+
+
 def test_mix_to_token_budgets(spark):
     """Per-source keep-rates derive from token budgets; selection is
     the reproducible hash rule; unbudgeted sources obey default_rate."""
