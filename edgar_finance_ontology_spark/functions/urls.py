@@ -147,6 +147,36 @@ def url_dedup(pages: DataFrame, url_col: str = "url",
     )
 
 
+# <meta name="robots" content="...noindex..."> in either attribute
+# order, any quoting; (?is) = case-insensitive + dotall. No lookaround
+# (portable Java/RE2).
+_NOINDEX_RES = [
+    r"(?is)<meta[^>]*\bname\s*=\s*[\"']?robots\b[^>]*"
+    r"\bcontent\s*=\s*[\"']?[^\"'>]*\bnoindex\b",
+    r"(?is)<meta[^>]*\bcontent\s*=\s*[\"']?[^\"'>]*\bnoindex\b[^>]*"
+    r"\bname\s*=\s*[\"']?robots\b",
+]
+
+
+def noindex_col(html_col: Column) -> Column:
+    """True when the page opts out of indexing via a robots meta tag —
+    the crawl-compliance gate a Common-Crawl-style pipeline applies
+    before content ever reaches extraction. Column-native rlike over
+    the decoded bytes (pure map, whole-stage codegen)."""
+    h = html_col.cast("string")
+    out = F.lit(False)
+    for pat in _NOINDEX_RES:
+        out = out | F.coalesce(h.rlike(pat), F.lit(False))
+    return out
+
+
+def filter_indexable(pages: DataFrame,
+                     html_col: str = "html") -> DataFrame:
+    """Drop pages whose robots meta says noindex (rows with NULL html
+    are kept — absence of markup is not an opt-out)."""
+    return pages.where(~noindex_col(F.col(html_col)))
+
+
 def domain_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """(domain, n_pages, n_canonical_urls) — crawl-health counters."""
     d = canonicalize_pages(pages, url_col)

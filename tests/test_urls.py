@@ -118,6 +118,41 @@ def test_domain_stats(spark):
     assert got["other.org"] == (1, 1)
 
 
+def test_noindex_filter(spark):
+    import datetime as dt
+
+    from edgar_finance_ontology_spark.functions.urls import (
+        filter_indexable, noindex_col,
+    )
+
+    t = dt.datetime(2025, 1, 1)
+    pages = [
+        ("https://a.com/1", t,
+         b'<html><head><meta name="robots" content="noindex,nofollow">'
+         b"</head><body>x</body></html>"),
+        ("https://a.com/2", t,
+         b"<html><head><META CONTENT='NOINDEX' NAME=robots></head>"
+         b"<body>y</body></html>"),
+        ("https://a.com/3", t,
+         b'<html><head><meta name="robots" content="index,follow">'
+         b"</head><body>z</body></html>"),
+        ("https://a.com/4", t,
+         b"<html><body>no meta at all</body></html>"),
+        ("https://a.com/5", t, None),
+        # 'noindex' as CONTENT TEXT must not trigger the gate
+        ("https://a.com/6", t,
+         b"<html><body>discussing the noindex directive</body></html>"),
+    ]
+    df = spark.createDataFrame(
+        pages, "url string, warc_ts timestamp, html binary")
+    flags = {r["url"][-1]: r["ni"] for r in df.select(
+        "url", noindex_col(F.col("html")).alias("ni")).collect()}
+    assert flags == {"1": True, "2": True, "3": False, "4": False,
+                     "5": False, "6": False}
+    kept = {r["url"][-1] for r in filter_indexable(df).collect()}
+    assert kept == {"3", "4", "5", "6"}
+
+
 def test_canonicalize_pages_on_synthesized_panel(spark):
     """The pipeline's own synthetic pages are already canonical modulo
     nothing — canonicalization must be a no-op on them (guards against
