@@ -51,7 +51,8 @@ BENCH_QUERIES = [
     "ann_ivf_multiprobe",
     "lang_id", "quality_scores", "token_counts", "token_counts_bpe",
     "unigram_surprisal", "doc_fingerprints",
-    "gazetteer_mentions", "doc_dup_clusters", "global_topk",
+    "gazetteer_mentions", "doc_dup_clusters", "dedup_keep_best",
+    "global_topk",
     "embedding_near_dup", "repetition_scores", "cross_source_overlap",
     "pii_scrub_stats", "pii_card_stats", "stratified_sample",
     "mix_token_budgets", "quality_funnel",

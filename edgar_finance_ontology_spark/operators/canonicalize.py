@@ -136,3 +136,48 @@ def duplicate_clusters(pair_df: DataFrame, id_a: str = "id_a",
     return connected_components(pair_df, src=id_a, dst=id_b).select(
         F.col("id"), F.col("component").alias("cluster_id")
     )
+
+
+def dedup_keep_best(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", threshold: float = 0.12,
+                    max_df: int | None = 64) -> DataFrame:
+    """The SELECTION POLICY on top of canonicalization: per
+    multi-member near-dup cluster, keep the best-quality
+    representative (quality score desc, lowest id as the
+    deterministic tie-break — quality is 2dp-quantized, so ties are
+    common and the tie-break is load-bearing).
+
+    Returns (cluster_id, kept_id, kept_quality, n_members) for
+    clusters with >1 member — the drop set is every other member, and
+    singletons are implicitly kept. Composition: n-gram-Jaccard pair
+    graph (df-capped) -> connected components -> broadcast-join to
+    per-doc quality -> per-cluster argmax window. The only shuffle
+    beyond the cluster machinery is the per-cluster window, keyed by
+    cluster_id (bounded groups — a cluster is a near-dup set, not a
+    corpus partition)."""
+    from pyspark.sql import Window
+
+    from .dedup import ngram_jaccard_pairs
+    from .textops import quality_scores
+
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold, max_df=max_df)
+    clusters = duplicate_clusters(pairs)
+    q = quality_scores(docs).select("id", "quality")
+    member = q.join(clusters, "id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        member.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc).cast("int"))
+        .where((F.col("rn") == 1) & (F.col("n_members") > 1))
+        .select(
+            "cluster_id",
+            F.col("id").alias("kept_id"),
+            F.col("quality").alias("kept_quality"),
+            "n_members",
+        )
+    )

@@ -854,8 +854,8 @@ def q_quality(spark, sf):
     )
 
 
-SQL_QUALITY = """
-WITH q AS (
+# per-doc quality CTE chain, shared by SQL_QUALITY and SQL_KEEP_BEST
+_QUALITY_CTES = """q AS (
   SELECT doc_id AS id, length(text) AS n_chars,
          len(string_split(trim(lower(text)), ' ')) AS n_tokens,
          length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
@@ -875,7 +875,10 @@ s AS (
          + (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END)
          + (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.6 THEN 0.25 ELSE 0.0 END)
          + (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 0.25 ELSE 0.0 END), 2) AS quality
-  FROM m)
+  FROM m)"""
+
+SQL_QUALITY = f"""
+WITH {_QUALITY_CTES}
 SELECT quality, count(*) AS n,
        round(CAST(sum(CAST(stop_ratio AS DECIMAL(20,6))) AS DOUBLE), 6) AS sum_stop_ratio
 FROM s GROUP BY 1 ORDER BY 1
@@ -1043,8 +1046,9 @@ def q_doc_dup_clusters(spark, sf):
     return duplicate_clusters(pairs).orderBy("id")
 
 
-SQL_DOC_CLUSTERS = """
-WITH toks AS (
+# near-dup cluster CTE chain (through `nodes`/`reach`), shared by
+# SQL_DOC_CLUSTERS and SQL_KEEP_BEST
+_CLUSTER_CTES = """toks AS (
   SELECT doc_id AS id, string_split(trim(lower(text)), ' ') AS t FROM documents),
 sh AS (
   SELECT DISTINCT id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
@@ -1075,10 +1079,46 @@ reach AS (
     UNION
     SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a WHERE r.a <> s.b)
   SELECT * FROM r),
-nodes AS (SELECT DISTINCT a AS id FROM sym)
+nodes AS (SELECT DISTINCT a AS id FROM sym)"""
+
+SQL_DOC_CLUSTERS = f"""
+WITH {_CLUSTER_CTES}
 SELECT n.id, least(n.id, min(r.b)) AS cluster_id
 FROM nodes n JOIN reach r ON r.a = n.id
 GROUP BY n.id ORDER BY n.id
+"""
+
+
+def q_dedup_keep_best(spark, sf):
+    """Cluster selection policy: for every multi-member near-dup
+    cluster, keep the best-quality representative (quality desc, id
+    asc) — the step that turns canonicalization output into an actual
+    corpus decision."""
+    from .operators.canonicalize import dedup_keep_best
+
+    d = _t(spark, sf, "documents")
+    return dedup_keep_best(d, threshold=0.12, max_df=64) \
+        .orderBy("cluster_id")
+
+
+SQL_KEEP_BEST = f"""
+WITH {_CLUSTER_CTES},
+{_QUALITY_CTES},
+clus AS (
+  SELECT n.id, least(n.id, min(r.b)) AS cluster_id
+  FROM nodes n JOIN reach r ON r.a = n.id GROUP BY n.id),
+member AS (
+  SELECT s.id, coalesce(c.cluster_id, s.id) AS cluster_id, s.quality
+  FROM s LEFT JOIN clus c USING (id)),
+ranked AS (
+  SELECT cluster_id, id, quality,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM member)
+SELECT cluster_id, id AS kept_id, quality AS kept_quality,
+       CAST(n_members AS INT) AS n_members
+FROM ranked WHERE rn = 1 AND n_members > 1 ORDER BY cluster_id
 """
 
 
@@ -1473,6 +1513,7 @@ QUERIES = {
     "doc_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "gazetteer_mentions": (q_gazetteer_mentions, SQL_GAZETTEER),
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_CLUSTERS),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_KEEP_BEST),
     "global_topk": (q_global_topk, SQL_GLOBAL_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
     "repetition_scores": (q_repetition, SQL_REPETITION),

@@ -174,6 +174,31 @@ def test_pii_card_stats_duckdb_twin(spark):
             ours["total_luhn_valid"]) == ref
 
 
+def test_dedup_keep_best_picks_quality_representative(spark):
+    """Within a near-dup cluster the longest/cleanest variant wins;
+    tie on quantized quality falls to the lowest id; singletons are
+    not reported (implicitly kept)."""
+    from edgar_finance_ontology_spark.operators.canonicalize import (
+        dedup_keep_best,
+    )
+
+    base = ("the quarterly report of the company shows revenue and "
+            "profit growth across all segments of the business this year")
+    docs = [
+        (1, base + " with additional detail " * 20),  # long, clean -> best
+        (2, base),                                    # near-dup, shorter
+        (3, base + " x"),                             # near-dup
+        (9, "a completely different standalone document about other "
+            "topics entirely with its own words and phrasing"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = dedup_keep_best(df, threshold=0.2, max_df=None).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["cluster_id"] == 1 and r["n_members"] == 3
+    assert r["kept_id"] == 1  # highest quality (len>=200 band)
+
+
 def test_compression_ratio_ordering(spark):
     """The signal's contract: repeated boilerplate compresses far
     below prose, random hex soup compresses worst; empty text yields
