@@ -118,6 +118,102 @@ def test_domain_stats(spark):
     assert got["other.org"] == (1, 1)
 
 
+def test_canonical_url_random_grammar_idempotent(spark):
+    """150 urls from a randomized grammar (schemes, casing, ports,
+    trailing slashes, tracking + real params, fragments): canonical
+    form is always non-null, parseable, and a fixed point."""
+    import random
+
+    rng = random.Random(42)
+    schemes = ["http", "https", "HTTP", "Https"]
+    tlds = ["com", "org", "co.uk", "io"]
+    track = ["utm_source=a", "utm_campaign=x", "fbclid=zz", "gclid=1",
+             "sessionid=s9"]
+    real = ["a=1", "b=2", "z=9", "q=hello"]
+    urls = []
+    for _ in range(150):
+        host = ".".join(
+            ["www"] * rng.randrange(2)
+            + [f"h{rng.randrange(50)}", rng.choice(tlds)]
+        )
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = "/".join(f"p{rng.randrange(20)}"
+                        for _ in range(rng.randrange(4)))
+        slash = "/" * rng.randrange(3)
+        params = rng.sample(track, rng.randrange(3)) + \
+            rng.sample(real, rng.randrange(3))
+        rng.shuffle(params)
+        q = ("?" + "&".join(params)) if params else ""
+        frag = rng.choice(["", "#top", "#sec-2"])
+        urls.append(
+            f"{rng.choice(schemes)}://{host}{port}/{path}{slash}{q}{frag}"
+        )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = [r["c"] for r in
+            df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert all(c is not None for c in once)
+    df2 = spark.createDataFrame([(c,) for c in once], "url string")
+    twice = [r["c"] for r in
+             df2.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert once == twice
+    for c in once:
+        assert "#" not in c and "utm_" not in c and "fbclid" not in c
+        assert not c.endswith("//")
+
+
+def test_luhn_matches_reference_implementation(spark):
+    """Column-native Luhn vs a plain-Python reference over randomized
+    digit runs (valid checksums constructed, plus corrupted ones and
+    separator variants)."""
+    import random
+
+    from edgar_finance_ontology_spark.operators.textops import (
+        luhn_valid_col,
+    )
+
+    def py_luhn(digits: str) -> bool:
+        ds = [int(c) for c in digits][::-1]
+        total = 0
+        for i, d in enumerate(ds):
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0 and 13 <= len(ds) <= 19
+
+    rng = random.Random(17)
+    cases = []
+    for _ in range(120):
+        n = rng.randrange(12, 21)
+        body = [rng.randrange(10) for _ in range(n - 1)]
+        # compute the check digit, then maybe corrupt it
+        partial = "".join(map(str, body)) + "0"
+        total_mod = 0
+        ds = [int(c) for c in partial][::-1]
+        for i, d in enumerate(ds):
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total_mod += d
+        check = (10 - total_mod % 10) % 10
+        digits = "".join(map(str, body)) + str(check)
+        if rng.random() < 0.5:
+            digits = digits[:-1] + str((int(digits[-1]) + 1) % 10)
+        sep = rng.choice(["", " ", "-"])
+        shown = sep.join(digits[i:i + 4]
+                         for i in range(0, len(digits), 4)) \
+            if sep else digits
+        cases.append((shown, py_luhn(digits)))
+    df = spark.createDataFrame(cases, "card string, want boolean")
+    got = df.select(
+        luhn_valid_col(F.col("card")).alias("got"), "want"
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"]
+
+
 def test_noindex_filter(spark):
     import datetime as dt
 
