@@ -46,7 +46,8 @@ BENCH_QUERIES = [
     "pricing_summary", "star_join_revenue", "top10_per_group",
     "yoy_growth", "asof_pick", "semi_anti", "grouping_sets_benchmarks",
     "pivot_events", "composite_rank", "sessionize", "json_props",
-    "dedup_exact", "minhash_lsh_dedup", "ngram_jaccard_dedup",
+    "dedup_exact", "boilerplate_lines", "minhash_lsh_dedup",
+    "ngram_jaccard_dedup",
     "simhash_dedup", "ann_cosine_topk", "ann_ivf_cell",
     "ann_ivf_multiprobe",
     "lang_id", "quality_scores", "token_counts", "token_counts_bpe",

@@ -451,6 +451,70 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return df.where(frac < rate)
 
 
+def remove_boilerplate_lines(df: DataFrame, min_df: int = 5,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             delimiter: str = "\n") -> DataFrame:
+    """C4/MassiveText-style LINE-LEVEL dedup: delete every line whose
+    trimmed content appears in >= `min_df` distinct documents (cookie
+    banners, nav bars, boilerplate headers live in thousands of pages;
+    document-level dedup never sees them). Blank lines are never
+    counted as boilerplate; line order is preserved on rebuild and
+    docs whose every line is boilerplate come back with empty text,
+    not dropped rows.
+
+    Plan shape: posexplode -> one md5-keyed aggregation with map-side
+    combine (count DISTINCT docs per line) -> the boilerplate set is
+    filtered by min_df and joined back LEFT ANTI (at web scale that
+    set is the head of the line-frequency distribution — tiny — and
+    broadcasts) -> per-doc rebuild via collect_list of (pos, line)
+    structs, array_sort, array_join. The rebuild groups by doc id —
+    the same key the corpus is already bucketed by."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), delimiter))
+        .alias("pos", "line"),
+    )
+    content = lines.where(F.trim(F.col("line")) != "")
+    boiler = (
+        content.groupBy(F.md5(F.trim(F.col("line"))).alias("h"))
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_df)
+        .select("h")
+    )
+    kept = lines.join(
+        F.broadcast(boiler),
+        F.md5(F.trim(F.col("line"))) == F.col("h"),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(
+                        F.col("pos").alias("pos"),
+                        F.col("line").alias("line"),
+                    ))
+                ),
+                lambda s: s["line"],
+            ),
+            delimiter,
+        ).alias("clean_text"),
+        F.count("*").cast("int").alias("kept_lines"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), delimiter)).cast("int")
+        .alias("total_lines"),
+    )
+    return base.join(rebuilt, "id", "left").select(
+        "id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "total_lines",
+        F.coalesce(F.col("kept_lines"), F.lit(0)).alias("kept_lines"),
+    )
+
+
 def compression_ratios(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        level: int = 6) -> DataFrame:

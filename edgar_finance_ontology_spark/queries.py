@@ -947,6 +947,46 @@ FROM scored GROUP BY id ORDER BY id
 """
 
 
+def q_boilerplate_lines(spark, sf):
+    """C4-style segment-level dedup, driven end-to-end (explode ->
+    df-count -> anti-join -> ORDER-PRESERVING rebuild). The synthetic
+    corpus is single-line (whole-doc '\\n' segments never repeat), so
+    the query runs the operator at delimiter=' ' with a high df bar —
+    ubiquitous segments are scrubbed corpus-wide and the rebuilt text
+    must preserve the surviving order exactly."""
+    from .operators.textops import remove_boilerplate_lines
+
+    d = _t(spark, sf, "documents")
+    return remove_boilerplate_lines(
+        d, min_df=400, delimiter=" "
+    ).orderBy("id")
+
+
+SQL_BOILERPLATE = """
+WITH p AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS parts FROM documents),
+l AS (
+  SELECT id, i - 1 AS pos, parts[i] AS line
+  FROM p, UNNEST(range(1, len(parts) + 1)) AS u(i)),
+boiler AS (
+  SELECT md5(trim(line)) AS h FROM l WHERE trim(line) <> ''
+  GROUP BY 1 HAVING count(DISTINCT id) >= 400),
+kept AS (
+  SELECT l.* FROM l LEFT JOIN boiler b ON md5(trim(l.line)) = b.h
+  WHERE b.h IS NULL),
+rebuilt AS (
+  SELECT id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
+         CAST(count(*) AS INT) AS kept_lines
+  FROM kept GROUP BY id)
+SELECT d.doc_id AS id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(len(string_split(d.text, ' ')) AS INT) AS total_lines,
+       coalesce(r.kept_lines, 0) AS kept_lines
+FROM documents d LEFT JOIN rebuilt r ON r.id = d.doc_id
+ORDER BY id
+"""
+
+
 def q_token_counts_bpe(spark, sf):
     """REAL byte-level BPE piece counts (functions/bpe.py) per
     document, under the committed 16-merge table — truncated so the
@@ -1499,6 +1539,7 @@ QUERIES = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "json_props": (q_json_props, SQL_JSON),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE),
     "minhash_lsh_dedup": (q_minhash_lsh, SQL_MINHASH_LSH),
     "ngram_jaccard_dedup": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "simhash_dedup": (q_simhash, SQL_SIMHASH),

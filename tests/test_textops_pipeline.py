@@ -174,6 +174,39 @@ def test_pii_card_stats_duckdb_twin(spark):
             ours["total_luhn_valid"]) == ref
 
 
+def test_remove_boilerplate_lines(spark):
+    """The C4-style line scrub: a banner shared by >= min_df docs
+    vanishes everywhere, unique lines survive in order, blank lines
+    are structural (kept, never counted toward boilerplate), and a
+    doc made entirely of boilerplate collapses to empty text but
+    keeps its row."""
+    from edgar_finance_ontology_spark.operators.textops import (
+        remove_boilerplate_lines,
+    )
+
+    banner = "ACCEPT COOKIES TO CONTINUE"
+    docs = [
+        (1, f"{banner}\nunique first line\n\nunique second line"),
+        (2, f"intro text\n{banner}\ntrailing thought"),
+        (3, f"{banner}\nmore original content here"),
+        (4, banner),                       # all-boilerplate doc
+        (5, "totally original document"),  # untouched
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: r for r in
+           remove_boilerplate_lines(df, min_df=3).collect()}
+    assert got[1]["clean_text"] == "unique first line\n\nunique second line"
+    assert got[2]["clean_text"] == "intro text\ntrailing thought"
+    assert got[3]["clean_text"] == "more original content here"
+    assert got[4]["clean_text"] == "" and got[4]["kept_lines"] == 0
+    assert got[5]["clean_text"] == "totally original document"
+    assert got[1]["total_lines"] == 4 and got[1]["kept_lines"] == 3
+    # below the df bar nothing is removed
+    loose = {r["id"]: r["clean_text"] for r in
+             remove_boilerplate_lines(df, min_df=5).collect()}
+    assert loose[1] == docs[0][1]
+
+
 def test_dedup_keep_best_picks_quality_representative(spark):
     """Within a near-dup cluster the longest/cleanest variant wins;
     tie on quantized quality falls to the lowest id; singletons are
