@@ -70,13 +70,23 @@ def brute_force_topk(
     )
 
 
+def _lit_vec(values: list[float]):
+    """Literal double array as ONE generated SQL expression — a
+    per-element F.lit chain costs dim py4j round trips per centroid,
+    which dominates fit time for 64-dim × k centroids × k seeding
+    passes. repr(float) round-trips doubles exactly; the D suffix
+    keeps Spark from parsing them as DECIMAL."""
+    return F.expr(
+        "array(" + ",".join(f"{x!r}D" for x in values) + ")"
+    )
+
+
 def _dist2_to(vec, centroid: list[float]):
     """Sequential-fold squared distance to a literal centroid —
     bit-identical across Spark's aggregate fold, DuckDB's list_sum,
     and a plain Python loop (verified empirically on 64-dim data)."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(
-        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(vec, _lit_vec(centroid), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -91,7 +101,8 @@ def cell_assign_col(vec, centroids: list[list[float]]):
 
 def kmeans_fit(embeddings: DataFrame, k: int = 8, iters: int = 3,
                id_col: str = "vec_id",
-               vec_col: str = "embedding") -> list[list[float]]:
+               vec_col: str = "embedding",
+               seed_sample: int = 2048) -> list[list[float]]:
     """Deterministic distributed Lloyd's iterations — the REAL coarse
     quantizer for the IVF family (cell ids trained from the data, not
     a stand-in label column). Returns the k centroids as plain Python
@@ -99,13 +110,19 @@ def kmeans_fit(embeddings: DataFrame, k: int = 8, iters: int = 3,
 
     Determinism contract (what makes the DuckDB twin replayable and
     re-runs reproducible regardless of partitioning):
-      * init = deterministic FARTHEST-FIRST traversal: seed 0 is the
-        lowest-id vector, seed j maximizes the distance to its nearest
-        already-chosen seed (ties to the lowest id). Naive "k lowest
-        ids" seeding put adjacent seeds inside one cluster and Lloyd's
-        stabilized on a degenerate mid-point split (caught by the
-        two-blob test); farthest-first is the standard deterministic
-        fix and costs k-1 extra TakeOrdered passes at fit time only;
+      * init = deterministic FARTHEST-FIRST traversal over the
+        `seed_sample` lowest-id vectors (ONE TakeOrdered job collects
+        the bounded sample; the k-seed traversal then runs driver-side
+        in plain Python — the sequential-fold arithmetic is
+        bit-identical to the Spark/DuckDB folds, verified, so the
+        choice is engine-replayable). Seed 0 is the lowest-id vector,
+        seed j maximizes the distance to its nearest already-chosen
+        seed (ties to the lowest sample position). Naive "k lowest
+        ids" seeding put adjacent seeds inside one cluster and
+        Lloyd's stabilized on a degenerate mid-point split (caught by
+        the two-blob test). For a non-prefix sample at 10^12 rows,
+        hash-sample upstream (stratified_sample) and pass the result
+        in;
       * assignment = sequential-fold squared distance, ties to the
         lowest cell id;
       * update = per-dimension EXACT DECIMAL(38,15) sums (decimal
@@ -122,19 +139,23 @@ def kmeans_fit(embeddings: DataFrame, k: int = 8, iters: int = 3,
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    first = e.orderBy("id").limit(1).collect()
-    cents = [list(first[0]["v"])]
-    for _ in range(k - 1):
-        mind = F.array_min(
-            F.array(*[_dist2_to(F.col("v"), s) for s in cents])
-        )
-        far = (
-            e.select("id", "v", mind.alias("d"))
-            .orderBy(F.col("d").desc(), F.col("id").asc())
-            .limit(1)
-            .collect()
-        )
-        cents.append(list(far[0]["v"]))
+    sample = [list(r["v"])
+              for r in e.orderBy("id").limit(seed_sample).collect()]
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    cents = [sample[0]]
+    for _ in range(min(k, len(sample)) - 1):
+        best_i, best_d = None, None
+        for i, v in enumerate(sample):
+            d = min(d2(v, s) for s in cents)
+            if best_d is None or d > best_d:
+                best_i, best_d = i, d
+        cents.append(sample[best_i])
     dim = len(cents[0])
     for _ in range(iters):
         cell = cell_assign_col(F.col("v"), cents)

@@ -715,7 +715,7 @@ def q_ann_ivf_multiprobe(spark, sf):
 
 def _sql_ivf_multiprobe(k: int = 8, iters: int = 2, dim: int = 64,
                         nq: int = 10, nprobe: int = 2,
-                        topk: int = 3) -> str:
+                        topk: int = 3, seed_sample: int = 2048) -> str:
     """The DuckDB twin REPLAYS the whole k-means fit (iterations
     unrolled at SQL-generation time): init = k lowest-id vectors,
     assignment by sequential-fold squared distance (list_sum matches
@@ -727,10 +727,12 @@ def _sql_ivf_multiprobe(k: int = 8, iters: int = 2, dim: int = 64,
     parts = [
         "WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) "
         "AS v FROM embeddings)",
-        "seed0 AS (SELECT v FROM base ORDER BY id LIMIT 1)",
+        f"smp AS (SELECT id, v FROM base ORDER BY id LIMIT {seed_sample})",
+        "seed0 AS (SELECT v FROM smp ORDER BY id LIMIT 1)",
     ]
-    # farthest-first traversal, one CTE per seed: maximize the min
-    # distance to every previously chosen seed (ties -> lowest id)
+    # farthest-first traversal over the bounded seed sample, one CTE
+    # per seed: maximize the min distance to every previously chosen
+    # seed (ties -> lowest id)
     for j in range(1, k):
         prev_d2 = ", ".join(
             d2.format(v="b.v", c=f"s{i}.c")
@@ -741,7 +743,7 @@ def _sql_ivf_multiprobe(k: int = 8, iters: int = 2, dim: int = 64,
         )
         mind = f"least({prev_d2})" if j > 1 else prev_d2
         parts.append(
-            f"seed{j} AS (SELECT b.v FROM base b, {prev_from} "
+            f"seed{j} AS (SELECT b.v FROM smp b, {prev_from} "
             f"ORDER BY {mind} DESC, b.id ASC LIMIT 1)"
         )
     init_union = " UNION ALL ".join(
