@@ -81,7 +81,14 @@ def canonical_url(url: Column) -> Column:
     host = canonical_host(u)
     # parse_url keeps an explicit port inside HOST? No — HOST excludes
     # the port; re-read it separately and keep only non-default ones.
-    port = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*:(\d+)", 1)
+    # the port is the digits after the LAST colon of the authority,
+    # immediately before the path/query/fragment or end — a lookahead
+    # keeps "user:123@host" userinfo from being misread as a port
+    # (this expression never runs in DuckDB, so Java-only lookahead is
+    # fine here, unlike the PII patterns)
+    port = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*:(\d+)(?=[/?#]|$)", 1
+    )
     keep_port = (
         (port != "")
         & ~((scheme == "http") & (port == "80"))
