@@ -472,7 +472,9 @@ def remove_boilerplate_lines(df: DataFrame, min_df: int = 5,
     the same key the corpus is already bucketed by."""
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), delimiter))
+        # \Q..\E quotes the delimiter — F.split takes a REGEX, and a
+        # caller passing '.' or '|' must get literal splitting
+        F.posexplode(F.split(F.col(text_col), f"\\Q{delimiter}\\E"))
         .alias("pos", "line"),
     )
     content = lines.where(F.trim(F.col("line")) != "")
@@ -504,7 +506,7 @@ def remove_boilerplate_lines(df: DataFrame, min_df: int = 5,
     )
     base = df.select(
         F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), delimiter)).cast("int")
+        F.size(F.split(F.col(text_col), f"\\Q{delimiter}\\E")).cast("int")
         .alias("total_lines"),
     )
     return base.join(rebuilt, "id", "left").select(
