@@ -177,9 +177,39 @@ def run_web_pipeline_resumable(
         lambda df: with_extracted_text(df).select("url", "bucket", "text"),
     )
     records = run_stage(log, "fact_records", extracted, parse_fact_records)
+    # TRIPLE counts per url-bucket (north_rule metrics contract): the
+    # page-local mention/provenance triples are bucket-preserving, so
+    # they run through the same lineage machinery — the metrics table
+    # carries rows AND triples per bucket, and a resumed run skips
+    # completed buckets' triple emission too. (Per-company observation
+    # triples are company-granular by design — see
+    # streaming/pages_stream.py — and are counted at the run level.)
+    mention_triples = run_stage(
+        log, "mention_triples", extracted,
+        lambda df: _bucketed_mention_triples(df),
+    )
     facts = assemble_facts(records)
     companies = parse_company_profiles(extracted)
     out = run_pipeline(facts, companies, fy, **kw)
     out["facts"] = facts
+    out["mention_triples"] = mention_triples
     out["lineage"] = log.metrics()
     return out
+
+
+def _bucketed_mention_triples(extracted: DataFrame) -> DataFrame:
+    """Page-local mention triples with the bucket column preserved
+    (input: extracted pages slice with url/bucket/text)."""
+    from ..operators.mentions import concept_lexicon_terms, detect_mentions
+
+    m = detect_mentions(extracted, concept_lexicon_terms())
+    metric = F.split(F.col("payload"), r"\|").getItem(0)
+    return m.join(
+        extracted.select("url", "bucket"), "url"
+    ).select(
+        F.col("bucket"),
+        F.concat(F.lit("efin:page-"), F.md5("url")).alias("subj"),
+        F.lit("efin:mentionsConcept").alias("pred"),
+        F.concat(F.lit("efin:"), metric).alias("obj"),
+        F.col("begin").cast("long").alias("begin"),
+    )

@@ -200,5 +200,17 @@ def test_resumable_web_pipeline_mid_kill_resume(spark, tmp_path):
     lin = t["lineage"].toPandas()
     per = lin.groupby(["stage", "bucket"]).size()
     assert (per == 1).all(), per[per > 1]
-    assert set(lin["stage"]) == {"extract", "fact_records"}
+    assert set(lin["stage"]) == {"extract", "fact_records",
+                                 "mention_triples"}
     assert sorted(lin.loc[lin.stage == "extract", "bucket"]) == list(range(8))
+    # the metrics table carries TRIPLE counts per url-bucket
+    # (north_rule contract): lineage rows_out for mention_triples must
+    # sum to the emitted triple count, and a resumed run must not have
+    # re-emitted completed buckets (one lineage row per bucket, already
+    # asserted above)
+    mt = t["mention_triples"]
+    assert int(
+        lin.loc[lin.stage == "mention_triples", "rows_out"].sum()
+    ) == mt.count()
+    assert set(r["bucket"] for r in mt.select("bucket").distinct()
+               .collect()) <= set(range(8))
