@@ -214,3 +214,25 @@ def test_resumable_web_pipeline_mid_kill_resume(spark, tmp_path):
     ) == mt.count()
     assert set(r["bucket"] for r in mt.select("bucket").distinct()
                .collect()) <= set(range(8))
+
+
+def test_stage_table_bucket_pruning(spark, tmp_path):
+    """Stage tables are written partitionBy(bucket) — a bucket filter
+    on the read-back side must reach the scan as a PartitionFilter
+    (whole directories skipped), the property that makes per-bucket
+    resume cheap at 10^12 pages."""
+    from pyspark.sql import functions as F
+
+    from edgar_finance_ontology_spark.plans.lineage import (
+        LineageLog, run_stage,
+    )
+
+    rows = [(f"u{i}", i % 4, f"text {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "url string, bucket int, text string")
+    log = LineageLog(spark, str(tmp_path / "run"))
+    out = run_stage(log, "s1", df, lambda d: d)
+    plan = (
+        out.where(F.col("bucket") == 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
