@@ -130,3 +130,41 @@ def test_image_resize_operator(spark):
         assert np.array_equal(back, want), key
     assert got["bad1"]["ok"] is False
     assert got["bad1"]["resized_bmp"] is None
+
+
+def test_multimodal_dedup_end_to_end(spark):
+    """The full multimodal near-dup story on REAL kernels end to end:
+    decode -> resize (canonicalizing dimensions) -> MLP embed -> ANN.
+    Two renderings of the same image at different sizes must become
+    mutual nearest neighbors over an unrelated distractor."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from edgar_finance_ontology_spark.operators.multimodal import (
+        feature_embed,
+    )
+    from edgar_finance_ontology_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rng = random.Random(23)
+    base = _rand_px(rng, 16, 16)
+    big = resize_nearest(base, 32, 32)          # same content, 2x scale
+    other = _rand_px(rng, 16, 16)               # unrelated
+    rows = [
+        ("a_small", bytearray(encode_bmp(base))),
+        ("a_big", bytearray(make_png(big, [0] * 32))),
+        ("other", bytearray(encode_bmp(other))),
+    ]
+    df = spark.createDataFrame(rows, "k string, img binary")
+    resized = image_resize(df, "k", "img", width=8, height=8)
+    assert resized.where("NOT ok").count() == 0
+    emb = feature_embed(
+        resized.where("ok"), "key", "resized_bmp", encoder="mlp"
+    ).select(F.col("key").alias("vec_id"),
+             F.col("feature").alias("embedding"))
+    top1 = {r["query_id"]: r["neighbor_id"] for r in
+            brute_force_topk(emb, emb, k=1, id_col="vec_id").collect()}
+    assert top1["a_small"] == "a_big"
+    assert top1["a_big"] == "a_small"
