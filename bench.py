@@ -255,6 +255,39 @@ def bench_kg(spark) -> dict:
             "per_view": per_view,
             "slowest": {n: per_view[n] for n in slowest},
         },
+        # EFIN_BENCH_100X=1 adds the 100x panel (~2 min) — the third
+        # point of the fixed-cost-amortization curve (240 -> 4.5k t/s,
+        # 2.4k -> 40k, 24k -> 114k measured round 4, BASELINE.md)
+        **(
+            {"kg_100x": _kg_panel(spark, n_companies * 100)}
+            if os.environ.get("EFIN_BENCH_100X") == "1" else {}
+        ),
+    }
+
+
+def _kg_panel(spark, n_companies: int) -> dict:
+    from edgar_finance_ontology_spark.emit.triples import build_triples
+    from edgar_finance_ontology_spark.plans.pipeline import run_pipeline
+    from edgar_finance_ontology_spark.plans.web_pipeline import (
+        pages_to_inputs,
+    )
+    from edgar_finance_ontology_spark.sources.pages import synthesize_pages
+
+    t0 = time.monotonic()
+    pages = synthesize_pages(spark, skew_copies=8, n_buckets=32,
+                             n_companies=n_companies)
+    facts, companies = pages_to_inputs(pages)
+    t = run_pipeline(facts, companies, fy=2024)
+    n = build_triples(
+        t["observations"], companies, t["benchmarks"], t["rankings"],
+        fy=2024,
+    ).count()
+    wall = time.monotonic() - t0
+    return {
+        "n_companies": n_companies,
+        "n_triples": n,
+        "wall_sec": round(wall, 3),
+        "triples_per_sec": round(n / wall, 2),
     }
 
 
