@@ -144,8 +144,10 @@ def url_dedup(pages: DataFrame, url_col: str = "url",
     bucket-by-url join can reuse."""
     d = canonicalize_pages(pages, url_col)
     key = F.coalesce(F.col("canonical_url"), F.col(url_col))
+    # nulls LAST: a row missing capture metadata must never beat a
+    # dated capture (Spark's default asc is nulls-first)
     w = Window.partitionBy(key).orderBy(
-        F.col(ts_col).asc(), F.col(url_col).asc()
+        F.col(ts_col).asc_nulls_last(), F.col(url_col).asc()
     )
     return (
         d.withColumn("_rn", F.row_number().over(w))

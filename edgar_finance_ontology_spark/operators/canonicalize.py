@@ -163,9 +163,10 @@ def dedup_keep_best(docs: DataFrame, text_col: str = "text",
     pairs = ngram_jaccard_pairs(docs, threshold=threshold, max_df=max_df)
     clusters = duplicate_clusters(pairs)
     q = quality_scores(docs).select("id", "quality")
-    member = q.join(clusters, "id", "left").withColumn(
-        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("id"))
-    )
+    # INNER join: only near-dup members enter the window — singletons
+    # are implicitly kept and must not ride through a corpus-wide
+    # shuffle just to be filtered at n_members > 1
+    member = q.join(clusters, "id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality").desc(), F.col("id").asc()
     )

@@ -17,6 +17,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..sources.schemas import MENTIONS_SCHEMA
 
@@ -142,3 +143,20 @@ def concept_lexicon_terms() -> list[tuple[str, str]]:
                 seen.add(surface)
                 terms.append((surface, f"{metric}|{qname}"))
     return terms
+
+
+def mention_triple_columns(m: DataFrame) -> DataFrame:
+    """(subj = page IRI, pred, obj, begin, page_url) from
+    detect_mentions rows — THE single definition of the mention-triple
+    shape. Both the streaming path (streaming/pages_stream.py) and the
+    batch/resumable lineage path (plans/web_pipeline.py) render
+    through this select, so the IRI scheme and payload split cannot
+    silently diverge between them."""
+    metric = F.split(F.col("payload"), r"\|").getItem(0)
+    return m.select(
+        F.concat(F.lit("efin:page-"), F.md5("url")).alias("subj"),
+        F.lit("efin:mentionsConcept").alias("pred"),
+        F.concat(F.lit("efin:"), metric).alias("obj"),
+        F.col("begin").cast("long").alias("begin"),
+        F.col("url").alias("page_url"),
+    )

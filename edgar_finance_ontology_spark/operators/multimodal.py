@@ -276,6 +276,9 @@ def image_resize(df: DataFrame, key_col: str, bin_col: str,
     the batch."""
     import numpy as np
 
+    if decoder not in ("auto", "stdlib"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
     def decode_any(payload: bytes):
         px = decode_image_pixels(payload)
         if px is not None or decoder == "stdlib":
@@ -826,12 +829,14 @@ def feature_embed(df: DataFrame, key_col: str, bin_col: str,
     For AUDIO, prefer audio_features — real DSP, no extra dependency.
     """
     if encoder in ("mlp", "onnx") and model_path is None:
+        # the dim guard applies ONLY to the committed fixture — a
+        # caller-supplied model_path may emit any dim
+        if dim != 8:
+            raise ValueError(
+                f"the committed fixture model emits dim=8; pass a "
+                f"model_path trained for dim={dim}"
+            )
         model_path = _DEFAULT_MLP if encoder == "mlp" else _DEFAULT_ONNX
-    if encoder in ("mlp", "onnx") and dim != 8:
-        raise ValueError(
-            f"the committed fixture model emits dim=8; pass a "
-            f"model_path trained for dim={dim}"
-        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

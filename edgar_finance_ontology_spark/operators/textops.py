@@ -148,9 +148,10 @@ def unigram_surprisal_scores(df: DataFrame, text_col: str = "text",
     ).first()
     total = int(total_row["total"] or 0)
     if total == 0:
+        id_type = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
-            [], "id long, n_tokens int, oov_tokens int, "
-                "sum_surprisal_bits long, mean_surprisal_bits double"
+            [], f"id {id_type}, n_tokens int, oov_tokens int, "
+                f"sum_surprisal_bits long, mean_surprisal_bits double"
         )
     vocab = freqs.orderBy(
         F.col("freq").desc(), F.col("token").asc()

@@ -199,17 +199,18 @@ def run_web_pipeline_resumable(
 
 def _bucketed_mention_triples(extracted: DataFrame) -> DataFrame:
     """Page-local mention triples with the bucket column preserved
-    (input: extracted pages slice with url/bucket/text)."""
-    from ..operators.mentions import concept_lexicon_terms, detect_mentions
-
-    m = detect_mentions(extracted, concept_lexicon_terms())
-    metric = F.split(F.col("payload"), r"\|").getItem(0)
-    return m.join(
-        extracted.select("url", "bucket"), "url"
-    ).select(
-        F.col("bucket"),
-        F.concat(F.lit("efin:page-"), F.md5("url")).alias("subj"),
-        F.lit("efin:mentionsConcept").alias("pred"),
-        F.concat(F.lit("efin:"), metric).alias("obj"),
-        F.col("begin").cast("long").alias("begin"),
+    (input: extracted pages slice with url/bucket/text). The triple
+    shape comes from the ONE shared definition
+    (operators.mentions.mention_triple_columns) — the streaming path
+    renders through the same select, so they cannot diverge."""
+    from ..operators.mentions import (
+        concept_lexicon_terms, detect_mentions, mention_triple_columns,
     )
+
+    triples = mention_triple_columns(
+        detect_mentions(extracted, concept_lexicon_terms())
+    )
+    return triples.join(
+        extracted.select(F.col("url").alias("page_url"), "bucket"),
+        "page_url",
+    ).select("bucket", "subj", "pred", "obj", "begin")

@@ -997,7 +997,12 @@ def q_token_counts_bpe(spark, sf):
     non-discriminating oracle). Oracle: golden parquet produced by the
     INDEPENDENT rank-order BPE formulation
     (scripts/make_golden_bpe.py); equivalence of the two formulations
-    is itself hypothesis-fuzzed in tests/test_bpe.py."""
+    is itself hypothesis-fuzzed in tests/test_bpe.py.
+
+    NOTE: like the kg_* entries, the golden is pinned to the driver's
+    correctness scale (sf0.01 — regenerate via make_golden_bpe.py for
+    any other); dual-engine comparisons at other sfs will mismatch by
+    construction, while bench runs (no oracle) are unaffected."""
     from .operators.textops import token_counts
 
     merges = os.path.join(

@@ -166,17 +166,13 @@ def mention_triples_frame(pages: DataFrame) -> DataFrame:
     emitting them incrementally is exact under ANY micro-batching
     (unlike per-company observation families, which need the company's
     complete fact set and therefore stay in the batch/lineage path)."""
-    from ..operators.mentions import concept_lexicon_terms, detect_mentions
+    from ..operators.mentions import (
+        concept_lexicon_terms, detect_mentions, mention_triple_columns,
+    )
 
     p = with_extracted_text(pages)
-    m = detect_mentions(p, concept_lexicon_terms())
-    metric = F.split(F.col("payload"), r"\|").getItem(0)
-    return m.select(
-        F.concat(F.lit("efin:page-"), F.md5("url")).alias("subj"),
-        F.lit("efin:mentionsConcept").alias("pred"),
-        F.concat(F.lit("efin:"), metric).alias("obj"),
-        F.col("begin").cast("long").alias("begin"),
-        F.col("url").alias("page_url"),
+    return mention_triple_columns(
+        detect_mentions(p, concept_lexicon_terms())
     )
 
 

@@ -113,6 +113,12 @@ def main():
     # part, not the document). Byte-identical to the reference's
     # --emit-ttl output — parity-tested in tests/test_run_kg.py. No
     # toPandas() executes anywhere in this deploy flow.
+    # a re-run with the same --out must never concatenate STALE pieces
+    # from a previous run (glue files are skipped when a family is
+    # empty, so leftovers would silently reappear in instances.ttl)
+    import shutil
+
+    shutil.rmtree(f"{args.out}/ttl_parts", ignore_errors=True)
     write_turtle_document(
         f"{args.out}/ttl_parts", companies, t["observations"],
         t["benchmarks"], t["rankings"], fy=args.fy,

@@ -85,12 +85,16 @@ def test_url_dedup_earliest_capture_wins(spark):
         # garbage url keeps its raw key, not silently merged
         ("garbage-one", t0, b"g1"),
         ("garbage-two", t0, b"g2"),
+        # a NULL-ts row must NOT beat a dated capture (nulls last)
+        ("https://example.com/dated", None, b"undated"),
+        ("https://example.com/dated", t0, b"dated"),
     ]
     df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
     out = url_dedup(df).collect()
     keys = {(r["canonical_url"] or r["url"]): bytes(r["html"]) for r in out}
-    assert len(out) == 4
+    assert len(out) == 5
     assert keys["https://example.com/page"] == b"early"
+    assert keys["https://example.com/dated"] == b"dated"
     assert keys["https://example.com/other"] == b"other"
     assert keys["garbage-one"] == b"g1" and keys["garbage-two"] == b"g2"
 
