@@ -311,30 +311,40 @@ def bench_scaling(copies: int = 1024) -> dict:
             _scaled_pages(spark, copies).write.mode("overwrite").parquet(pages_dir)
         finally:
             spark.stop()
-        for threads in scale_pairs():
-            spark = _session(threads, f"efin-scale-{threads}",
-                             extra=_SCAN_SPLIT_CONF)
-            try:
-                pages = spark.read.parquet(pages_dir)
-                n_pages = pages.count()
-                # warmup: spin up the Python worker pool + JIT
-                _drain(page_stage(pages.limit(2048)))
-                # best-of-3: the gate compares two single numbers, so
-                # run-to-run variance (turbo, page cache, GC phase)
-                # must be squeezed out of BOTH sides
-                wall = float("inf")
-                for _rep in range(3):
+        # INTERLEAVED best-of-3: each rep measures every thread level
+        # back-to-back, so slow machine-state drift (thermal, background
+        # load) hits both sides of the gate ratio equally — the
+        # per-level-sequential form measured the 2-thread level minutes
+        # apart from the 8-thread level, and a same-commit run landed
+        # 0.69 against a 0.89-1.06 same-day band purely from drift.
+        # min-per-level across reps is then the gate input.
+        walls: dict = {}
+        counts: dict = {}
+        for _rep in range(3):
+            for threads in scale_pairs():
+                spark = _session(threads, f"efin-scale-{threads}",
+                                 extra=_SCAN_SPLIT_CONF)
+                try:
+                    pages = spark.read.parquet(pages_dir)
+                    n_pages = pages.count()
+                    # warmup: spin up the Python worker pool + JIT
+                    _drain(page_stage(pages.limit(2048)))
                     t0 = time.monotonic()
                     rows = _drain(page_stage(pages))
-                    wall = min(wall, time.monotonic() - t0)
-                results[threads] = {
-                    "wall_sec": round(wall, 3),
-                    "rows": rows,
-                    "pages": n_pages,
-                    "pages_per_sec": round(n_pages / wall, 1),
-                }
-            finally:
-                spark.stop()
+                    wall = time.monotonic() - t0
+                    if wall < walls.get(threads, float("inf")):
+                        walls[threads] = wall
+                    counts[threads] = (rows, n_pages)
+                finally:
+                    spark.stop()
+        for threads, wall in walls.items():
+            rows, n_pages = counts[threads]
+            results[threads] = {
+                "wall_sec": round(wall, 3),
+                "rows": rows,
+                "pages": n_pages,
+                "pages_per_sec": round(n_pages / wall, 1),
+            }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     out = {}
