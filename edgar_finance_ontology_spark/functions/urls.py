@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 # query-param names that identify a click, not a resource
 TRACKING_PARAM_RE = (
     r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src"
-    r"|spm|s_kwcid|sessionid|session_id|phpsessid|jsessionid|sid)="
+    r"|spm|s_kwcid|sessionid|session_id|phpsessid|jsessionid|sid)(=|$)"
 )
 
 # well-known multi-part public suffixes (heuristic subset; the full

@@ -110,19 +110,22 @@ def kmeans_fit(embeddings: DataFrame, k: int = 8, iters: int = 3,
 
     Determinism contract (what makes the DuckDB twin replayable and
     re-runs reproducible regardless of partitioning):
-      * init = deterministic FARTHEST-FIRST traversal over the
-        `seed_sample` lowest-id vectors (ONE TakeOrdered job collects
-        the bounded sample; the k-seed traversal then runs driver-side
-        in plain Python — the sequential-fold arithmetic is
-        bit-identical to the Spark/DuckDB folds, verified, so the
-        choice is engine-replayable). Seed 0 is the lowest-id vector,
-        seed j maximizes the distance to its nearest already-chosen
-        seed (ties to the lowest sample position). Naive "k lowest
-        ids" seeding put adjacent seeds inside one cluster and
-        Lloyd's stabilized on a degenerate mid-point split (caught by
-        the two-blob test). For a non-prefix sample at 10^12 rows,
-        hash-sample upstream (stratified_sample) and pass the result
-        in;
+      * init = deterministic FARTHEST-FIRST traversal over a
+        HASH-ORDER sample: the `seed_sample` vectors with the lowest
+        (md5(id), id) key (ONE TakeOrdered job collects the bounded
+        sample; the k-seed traversal then runs driver-side in plain
+        Python — the sequential-fold arithmetic is bit-identical to
+        the Spark/DuckDB folds, verified, so the choice is
+        engine-replayable). md5 renders the same hex in Spark and
+        DuckDB, so the twin replays the selection exactly; ordering
+        by a hash makes the sample uniform over the id space rather
+        than a prefix (a prefix sample sees only whatever ids sort
+        first — at 10^12 rows that is one crawl slice, not the
+        corpus). Seed 0 is the lowest-hash vector, seed j maximizes
+        the distance to its nearest already-chosen seed (ties to the
+        lowest sample position). Naive "k lowest ids" seeding put
+        adjacent seeds inside one cluster and Lloyd's stabilized on a
+        degenerate mid-point split (caught by the two-blob test);
       * assignment = sequential-fold squared distance, ties to the
         lowest cell id;
       * update = per-dimension EXACT DECIMAL(38,15) sums (decimal
@@ -138,9 +141,19 @@ def kmeans_fit(embeddings: DataFrame, k: int = 8, iters: int = 3,
     e = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
-    sample = [list(r["v"])
-              for r in e.orderBy("id").limit(seed_sample).collect()]
+    ).where(F.col("v").isNotNull() & (F.size("v") > 0))
+    sample = [
+        list(r["v"])
+        for r in e.orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(seed_sample).collect()
+    ]
+    if not sample:
+        raise ValueError(
+            "kmeans_fit: no non-empty vectors in input "
+            f"(id_col={id_col!r}, vec_col={vec_col!r})"
+        )
+    expected_dim = len(sample[0])
+    sample = [v for v in sample if len(v) == expected_dim]
 
     def d2(a, b):
         acc = 0.0
@@ -157,6 +170,10 @@ def kmeans_fit(embeddings: DataFrame, k: int = 8, iters: int = 3,
                 best_i, best_d = i, d
         cents.append(sample[best_i])
     dim = len(cents[0])
+    # rows whose vector length disagrees with the centroid dim would
+    # yield NULL distance cells and blow up the update indexing —
+    # exclude them from the fit (the caller's data problem, not ours)
+    fit = e.where(F.size("v") == dim)
     for _ in range(iters):
         cell = cell_assign_col(F.col("v"), cents)
         aggs = [F.count("*").alias("n")] + [
@@ -164,10 +181,12 @@ def kmeans_fit(embeddings: DataFrame, k: int = 8, iters: int = 3,
             .alias(f"s{d}")
             for d in range(dim)
         ]
-        rows = e.select(cell.alias("cell"), "v").groupBy("cell").agg(*aggs) \
-                .collect()
+        rows = fit.select(cell.alias("cell"), "v").groupBy("cell") \
+                  .agg(*aggs).collect()
         new = [list(c) for c in cents]
         for r in rows:
+            if r["cell"] is None:
+                continue
             n = r["n"]
             new[r["cell"]] = [float(r[f"s{d}"]) / n for d in range(dim)]
         cents = new

@@ -1258,7 +1258,9 @@ def base_tables(spark: SparkSession, observations: DataFrame,
 # tables; replaced (and the previous generation deleted) on re-register
 # so repeated registrations — a different fy, a refreshed snapshot —
 # neither pin stale executor storage nor accumulate disk
-_SUPPORT_STORE: dict[str, str] = {}
+# applicationId -> (dir, created_by_us); only mkdtemp'd generations
+# (created_by_us=True) are deleted on replace
+_SUPPORT_STORE: dict[str, tuple[str, bool]] = {}
 
 
 def register_cq_catalog(spark: SparkSession, observations: DataFrame,
@@ -1299,6 +1301,7 @@ def register_cq_catalog(spark: SparkSession, observations: DataFrame,
             spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
         return
     key = spark.sparkContext.applicationId
+    created_by_us = store_dir is None
     new_dir = store_dir or tempfile.mkdtemp(prefix="efin-cq-support-")
     # dependency order: later support views read the parquet-backed
     # registrations of earlier ones, so each is computed exactly once
@@ -1306,10 +1309,22 @@ def register_cq_catalog(spark: SparkSession, observations: DataFrame,
         path = os.path.join(new_dir, name)
         spark.sql(sql).write.mode("overwrite").parquet(path)
         spark.read.parquet(path).createOrReplaceTempView(name)
+    _replace_support_store(key, new_dir, created_by_us)
+
+
+def _replace_support_store(key: str, new_dir: str,
+                           created_by_us: bool) -> None:
+    """Record the new support-table generation; delete the previous
+    one ONLY if register_cq_catalog created it via mkdtemp. A
+    caller-supplied store_dir is a user-owned path that may hold
+    unrelated files — it stays in place (the per-view parquet subdirs
+    inside it are mode("overwrite") anyway)."""
+    import shutil
+
     old = _SUPPORT_STORE.get(key)
-    if old and old != new_dir:
-        shutil.rmtree(old, ignore_errors=True)
-    _SUPPORT_STORE[key] = new_dir
+    if old and old[0] != new_dir and old[1]:
+        shutil.rmtree(old[0], ignore_errors=True)
+    _SUPPORT_STORE[key] = (new_dir, created_by_us)
 
 
 def run_cq(spark: SparkSession, name: str, fy: int = DEFAULT_FY) -> DataFrame:

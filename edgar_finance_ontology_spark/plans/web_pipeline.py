@@ -210,7 +210,12 @@ def _bucketed_mention_triples(extracted: DataFrame) -> DataFrame:
     triples = mention_triple_columns(
         detect_mentions(extracted, concept_lexicon_terms())
     )
+    # dropDuplicates on the join side: a crawl slice can carry the same
+    # url more than once (url_dedup exists for exactly that), and a
+    # duplicated (url, bucket) row would fan the join out quadratically,
+    # inflating the per-bucket triple counts the lineage metrics record
     return triples.join(
-        extracted.select(F.col("url").alias("page_url"), "bucket"),
+        extracted.select(F.col("url").alias("page_url"), "bucket")
+        .dropDuplicates(["page_url"]),
         "page_url",
     ).select("bucket", "subj", "pred", "obj", "begin")

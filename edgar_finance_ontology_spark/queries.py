@@ -700,10 +700,10 @@ FROM r WHERE rank <= 3 ORDER BY query_id, rank
 
 def q_ann_ivf_multiprobe(spark, sf):
     """REAL trained IVF: deterministic Lloyd's k-means coarse
-    quantizer (k=8, 2 iterations, decimal-exact centroid updates) fit
-    on the embeddings, then multi-probe search — each of the 10
-    lowest-vec_id queries probes its 2 nearest cells, top-3 cosine
-    neighbors overall."""
+    quantizer (k=8, 2 iterations, decimal-exact centroid updates,
+    hash-order seed sample) fit on the embeddings, then multi-probe
+    search — each of the 10 lowest-vec_id queries probes its 2 nearest
+    cells, top-3 cosine neighbors overall."""
     from .operators.similarity import ann_ivf_multiprobe, kmeans_fit
 
     e = _t(spark, sf, "embeddings")
@@ -717,18 +717,23 @@ def _sql_ivf_multiprobe(k: int = 8, iters: int = 2, dim: int = 64,
                         nq: int = 10, nprobe: int = 2,
                         topk: int = 3, seed_sample: int = 2048) -> str:
     """The DuckDB twin REPLAYS the whole k-means fit (iterations
-    unrolled at SQL-generation time): init = k lowest-id vectors,
-    assignment by sequential-fold squared distance (list_sum matches
-    Spark's aggregate fold bit-for-bit — verified), centroid update by
-    exact DECIMAL(38,15) per-dimension sums cast to double means —
-    the same arithmetic contract the Spark fit documents."""
+    unrolled at SQL-generation time): seed sample = the `seed_sample`
+    lowest (md5(id), id) vectors (md5 hex is engine-identical, so the
+    hash-order selection replays exactly), farthest-first seeding over
+    that sample, assignment by sequential-fold squared distance
+    (list_sum matches Spark's aggregate fold bit-for-bit — verified),
+    centroid update by exact DECIMAL(38,15) per-dimension sums cast to
+    double means — the same arithmetic contract the Spark fit
+    documents."""
     d2 = ("list_sum(list_transform(list_zip({v}, {c}), "
           "t -> (t[1]-t[2])*(t[1]-t[2])))")
     parts = [
         "WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) "
         "AS v FROM embeddings)",
-        f"smp AS (SELECT id, v FROM base ORDER BY id LIMIT {seed_sample})",
-        "seed0 AS (SELECT v FROM smp ORDER BY id LIMIT 1)",
+        f"smp AS (SELECT id, v FROM base "
+        f"ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {seed_sample})",
+        "seed0 AS (SELECT v FROM smp "
+        "ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 1)",
     ]
     # farthest-first traversal over the bounded seed sample, one CTE
     # per seed: maximize the min distance to every previously chosen
@@ -742,9 +747,11 @@ def _sql_ivf_multiprobe(k: int = 8, iters: int = 2, dim: int = 64,
             f"(SELECT v AS c FROM seed{i}) s{i}" for i in range(j)
         )
         mind = f"least({prev_d2})" if j > 1 else prev_d2
+        # tie-break = lowest SAMPLE POSITION, which is hash order now
         parts.append(
             f"seed{j} AS (SELECT b.v FROM smp b, {prev_from} "
-            f"ORDER BY {mind} DESC, b.id ASC LIMIT 1)"
+            f"ORDER BY {mind} DESC, md5(CAST(b.id AS VARCHAR)) ASC, "
+            f"b.id ASC LIMIT 1)"
         )
     init_union = " UNION ALL ".join(
         f"SELECT {j} AS cell, v AS c FROM seed{j}" for j in range(k)

@@ -138,6 +138,39 @@ def test_expected_cqs_nonempty(cq_setup):
     assert not empty, empty
 
 
+def test_support_store_never_deletes_caller_dirs(tmp_path):
+    """register_cq_catalog auto-deletes only generations it mkdtemp'd
+    itself; a caller-supplied store_dir must survive re-registration
+    (round-4 advice: user-owned paths were rmtree'd)."""
+    from edgar_finance_ontology_spark.plans.cq_catalog import (
+        _SUPPORT_STORE, _replace_support_store,
+    )
+
+    key = "test-app-store-ownership"
+    try:
+        user_dir = tmp_path / "user_store"
+        user_dir.mkdir()
+        sentinel = user_dir / "unrelated.txt"
+        sentinel.write_text("keep me")
+        ours = tmp_path / "mkdtemp_gen1"
+        ours.mkdir()
+        # caller dir registered, then replaced by an internal one:
+        # caller dir (and its unrelated file) must remain
+        _replace_support_store(key, str(user_dir), created_by_us=False)
+        _replace_support_store(key, str(ours), created_by_us=True)
+        assert sentinel.exists()
+        # internal generation replaced by another internal one: deleted
+        ours2 = tmp_path / "mkdtemp_gen2"
+        ours2.mkdir()
+        _replace_support_store(key, str(ours2), created_by_us=True)
+        assert not ours.exists() and ours2.exists()
+        # re-registering the SAME dir must not delete it
+        _replace_support_store(key, str(ours2), created_by_us=True)
+        assert ours2.exists()
+    finally:
+        _SUPPORT_STORE.pop(key, None)
+
+
 def test_catalog_covers_every_heading():
     """20 analysis + 31 factor + 6 reasoner headings = 57 named views
     (cq4_3_1 shares cq1_5_1's body — the docs define it as the same

@@ -57,6 +57,34 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert abs(cents[1][0] - 100.0) < 1e-9
 
 
+def test_kmeans_empty_input_raises(spark):
+    """An empty (or all-null-vector) input must fail with a clear
+    ValueError, not an IndexError deep in the seeding loop."""
+    import pytest
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-empty vectors"):
+        kmeans_fit(empty, k=2, iters=1)
+    nulls = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-empty vectors"):
+        kmeans_fit(nulls, k=2, iters=1)
+
+
+def test_kmeans_ignores_dim_mismatched_vectors(spark):
+    """Rows whose vector length disagrees with the sample dim are
+    excluded from the fit instead of poisoning the update aggregation
+    with NULL cells (round-4 advice)."""
+    df = _blob_df(spark)
+    junk = spark.createDataFrame(
+        [(99, [1.0, 2.0, 3.0]), (98, None)],
+        "vec_id long, embedding array<double>")
+    a = sorted(kmeans_fit(df.unionByName(junk), k=2, iters=3))
+    b = sorted(kmeans_fit(df, k=2, iters=3))
+    assert a == b
+
+
 def test_multiprobe_recovers_cross_cell_neighbor(spark):
     """The recall knob: a query sitting between two cells whose true
     nearest neighbor is assigned to its SECOND-closest cell is missed

@@ -19,6 +19,20 @@ def _canon(spark, url: str):
     return df.select(canonical_url(F.col("url")).alias("c")).first()["c"]
 
 
+def test_valueless_tracking_params_dropped(spark):
+    """Real crawls carry tracking params with NO value ('?utm_source',
+    '?fbclid'); those must collapse to the same canonical form as the
+    clean url (round-4 advice: the old regex required a trailing '=')."""
+    assert _canon(spark, "https://h.com/p?utm_source&a=1") == \
+        _canon(spark, "https://h.com/p?a=1")
+    assert _canon(spark, "https://h.com/p?fbclid") == \
+        _canon(spark, "https://h.com/p")
+    # a REAL param whose name merely starts with a tracking name must
+    # survive ('refresh' vs 'ref', 'side' vs 'sid')
+    assert "refresh=1" in _canon(spark, "https://h.com/p?refresh=1")
+    assert "side=2" in _canon(spark, "https://h.com/p?side=2")
+
+
 def test_canonical_url_cases(spark):
     cases = {
         # case, default port, www, fragment, tracking params, param sort

@@ -216,6 +216,29 @@ def test_resumable_web_pipeline_mid_kill_resume(spark, tmp_path):
                .collect()) <= set(range(8))
 
 
+def test_mention_triples_linear_under_duplicate_urls(spark):
+    """A crawl slice can carry the same url twice; the bucket join
+    inside _bucketed_mention_triples must not fan each duplicate out
+    quadratically (round-4 advice — lineage triple counts inflated)."""
+    from pyspark.sql import functions as F
+
+    from edgar_finance_ontology_spark.plans.web_pipeline import (
+        _bucketed_mention_triples, extracted_text_stage,
+    )
+    from edgar_finance_ontology_spark.sources.pages import synthesize_pages
+
+    extracted = extracted_text_stage(
+        synthesize_pages(spark, n_buckets=4)
+    ).limit(12).cache()
+    base = _bucketed_mention_triples(extracted).count()
+    doubled = _bucketed_mention_triples(
+        extracted.unionByName(extracted)
+    ).count()
+    assert base > 0
+    # each page's mentions appear once per PAGE ROW (2x), never 4x
+    assert doubled == 2 * base
+
+
 def test_stage_table_bucket_pruning(spark, tmp_path):
     """Stage tables are written partitionBy(bucket) — a bucket filter
     on the read-back side must reach the scan as a PartitionFilter
