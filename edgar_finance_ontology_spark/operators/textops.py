@@ -455,7 +455,9 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
 def remove_boilerplate_lines(df: DataFrame, min_df: int = 5,
                              text_col: str = "text",
                              id_col: str = "doc_id",
-                             delimiter: str = "\n") -> DataFrame:
+                             delimiter: str = "\n",
+                             broadcast_cap_rows: int = 5_000_000
+                             ) -> DataFrame:
     """C4/MassiveText-style LINE-LEVEL dedup: delete every line whose
     trimmed content appears in >= `min_df` distinct documents (cookie
     banners, nav bars, boilerplate headers live in thousands of pages;
@@ -466,11 +468,21 @@ def remove_boilerplate_lines(df: DataFrame, min_df: int = 5,
 
     Plan shape: posexplode -> one md5-keyed aggregation with map-side
     combine (count DISTINCT docs per line) -> the boilerplate set is
-    filtered by min_df and joined back LEFT ANTI (at web scale that
-    set is the head of the line-frequency distribution — tiny — and
-    broadcasts) -> per-doc rebuild via collect_list of (pos, line)
-    structs, array_sort, array_join. The rebuild groups by doc id —
-    the same key the corpus is already bucketed by."""
+    filtered by min_df and joined back LEFT ANTI -> per-doc rebuild
+    via collect_list of (pos, line) structs, array_sort, array_join.
+    The rebuild groups by doc id — the same key the corpus is already
+    bucketed by.
+
+    The anti-join side is usually the head of the line-frequency
+    distribution — tiny, and broadcast. But at 100 TB with min_df=5
+    every 5-occurrence template line in the crawl qualifies and the
+    set can plausibly reach GBs, so the set is persisted, COUNTED,
+    and broadcast only under `broadcast_cap_rows` (same count-then-
+    route pattern the dedup family uses for hot buckets); past the
+    cap it falls back to a plain shuffled anti join — identical
+    output, no driver/executor OOM. The count reuses the persisted
+    aggregation, so routing costs one small action, not a second
+    corpus pass."""
     lines = df.select(
         F.col(id_col).alias("id"),
         # \Q..\E quotes the delimiter — F.split takes a REGEX, and a
@@ -484,9 +496,13 @@ def remove_boilerplate_lines(df: DataFrame, min_df: int = 5,
         .agg(F.countDistinct("id").alias("n_docs"))
         .where(F.col("n_docs") >= min_df)
         .select("h")
+    ).persist()
+    n_boiler = boiler.count()
+    anti_side = (
+        F.broadcast(boiler) if n_boiler <= broadcast_cap_rows else boiler
     )
     kept = lines.join(
-        F.broadcast(boiler),
+        anti_side,
         F.md5(F.trim(F.col("line"))) == F.col("h"),
         "left_anti",
     )

@@ -207,6 +207,54 @@ def test_remove_boilerplate_lines(spark):
     assert loose[1] == docs[0][1]
 
 
+def test_boilerplate_shuffle_route_past_broadcast_cap(spark):
+    """Boundedness guard (round-4 verdict watch item): when the
+    boilerplate set exceeds broadcast_cap_rows it must route to a
+    plain shuffled anti join — identical output, and the executed
+    plan carries NO broadcast exchange on the anti-join leg."""
+    from pyspark.sql import functions as F
+
+    from edgar_finance_ontology_spark.operators.textops import (
+        remove_boilerplate_lines,
+    )
+
+    # 300 distinct boilerplate lines, each shared by 6 docs, plus one
+    # unique line per doc — a "large" boilerplate set relative to cap=0
+    rows = []
+    for b in range(300):
+        for d in range(6):
+            rows.append((b * 10 + d, f"SHARED BANNER {b}\nunique {b}-{d}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    want = sorted(map(tuple, remove_boilerplate_lines(
+        df, min_df=5).collect()))
+    # with the hint suppressed past the cap, whether to broadcast
+    # becomes a RUNTIME size decision (AQE / autoBroadcastJoinThreshold)
+    # — on the fixture's 300-row set AQE still converts, which is the
+    # point of the guard; disable auto-broadcast to observe the
+    # worst-case shuffle route the cap exists for
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffled = remove_boilerplate_lines(
+            df, min_df=5, broadcast_cap_rows=0)
+        got = sorted(map(tuple, shuffled.collect()))
+        assert got == want
+        assert all(t[1].startswith("unique ") for t in got)
+        # plan audit: no broadcast exchange on the anti-join leg
+        plan = shuffled._jdf.queryExecution().executedPlan().toString()
+        anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti and all("Broadcast" not in ln for ln in anti)
+        # the default (under-cap) route broadcasts even with the
+        # threshold off — the explicit hint carries it
+        bplan = remove_boilerplate_lines(df, min_df=5) \
+            ._jdf.queryExecution().executedPlan().toString()
+        banti = [ln for ln in bplan.splitlines() if "LeftAnti" in ln]
+        assert banti and any("Broadcast" in ln for ln in banti)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
 def test_dedup_keep_best_picks_quality_representative(spark):
     """Within a near-dup cluster the longest/cleanest variant wins;
     tie on quantized quality falls to the lowest id; singletons are
