@@ -277,3 +277,38 @@ def cell_topk(
         .select("query_id", "cell", "rank", "neighbor_id",
                 F.round("cos", 6).alias("cos"))
     )
+
+
+def measure_ivf_recall(
+    embeddings: DataFrame,
+    k: int = 3,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    n_queries: int = 50,
+    kmeans_k: int = 8,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, float]:
+    """recall@k of the trained IVF multi-probe index vs the exact
+    brute-force baseline, per nprobe setting — the measured form of
+    the recall/cost knob (a knob whose recall is asserted, not
+    measured, is marketing). Queries = the `n_queries` lowest-id
+    vectors; recall = |IVF top-k ∩ exact top-k| / (k * n_queries).
+
+    Deliberately driver-light: the only collected frames are the two
+    (n_queries * k)-row top-k results per setting. At corpus scale you
+    run this on a hash-sampled slice — recall is a property of the
+    quantizer + data distribution, not of the corpus row count."""
+    cents = kmeans_fit(embeddings, k=kmeans_k, iters=kmeans_iters,
+                       id_col=id_col, vec_col=vec_col)
+    q = embeddings.orderBy(id_col).limit(n_queries)
+    exact = brute_force_topk(embeddings, q, k=k, id_col=id_col,
+                             vec_col=vec_col)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    out = {}
+    for nprobe in nprobes:
+        got = ann_ivf_multiprobe(embeddings, q, cents, k=k, nprobe=nprobe,
+                                 id_col=id_col, vec_col=vec_col)
+        hits = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+        out[nprobe] = round(len(hits & truth) / len(truth), 4)
+    return out
