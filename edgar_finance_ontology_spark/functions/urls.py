@@ -106,32 +106,80 @@ def canonical_url(url: Column) -> Column:
     )
 
 
+def load_suffix_file(path: str) -> list[str]:
+    """Read a public-suffix list file: one suffix per line, '#' and
+    '//' comments and blanks skipped. Wildcard ('*.') and exception
+    ('!') rules — a handful of entries in the real PSL — are ignored
+    with their base suffix kept, which matches the heuristic's
+    no-wildcard semantics."""
+    out = []
+    with open(path, encoding="utf-8") as f:
+        for raw in f:
+            s = raw.strip().lower()
+            if not s or s.startswith("#") or s.startswith("//"):
+                continue
+            if s.startswith("!"):
+                continue
+            if s.startswith("*."):
+                s = s[2:]
+            if s:
+                out.append(s)
+    return out
+
+
 def registrable_domain(url: Column,
-                       extra_suffixes: list[str] | None = None) -> Column:
-    """eTLD+1 heuristic: last 2 host labels, or 3 when the final 2 are
-    a known multi-part suffix."""
-    suffixes = MULTIPART_SUFFIXES + list(extra_suffixes or [])
+                       extra_suffixes: list[str] | None = None,
+                       suffix_file: str | None = None) -> Column:
+    """eTLD+1: last 2 host labels, or N+1 when the final N labels are
+    a known public suffix. With no data the suffix set is the built-in
+    heuristic subset (MULTIPART_SUFFIXES); pass `suffix_file` (the
+    Mozilla PSL, one suffix per line) to resolve with real data —
+    the list is folded into the plan as literal IN-sets grouped by
+    label count (driver-side data shipped with the plan, the
+    column-native analog of a broadcast; ~9k entries is KBs)."""
+    suffixes = (
+        MULTIPART_SUFFIXES
+        + list(extra_suffixes or [])
+        + (load_suffix_file(suffix_file) if suffix_file else [])
+    )
+    by_depth: dict[int, list[str]] = {}
+    for s in suffixes:
+        depth = s.count(".") + 1
+        if depth >= 2:  # single-label suffixes are the default case
+            by_depth.setdefault(depth, []).append(s)
     labels = F.split(canonical_host(url), r"\.")
     n = F.size(labels)
-    last2 = F.concat_ws(
-        ".", F.element_at(labels, -2), F.element_at(labels, -1)
-    )
-    last3 = F.concat_ws(
-        ".", F.element_at(labels, -3), F.element_at(labels, -2),
-        F.element_at(labels, -1),
-    )
-    return F.when(n <= 2, F.concat_ws(".", labels)).otherwise(
-        F.when(last2.isin(suffixes), last3).otherwise(last2)
-    )
+
+    def last(c: int) -> Column:
+        return F.concat_ws(
+            ".", *[F.element_at(labels, -i) for i in range(c, 0, -1)]
+        )
+
+    # deepest suffix wins (PSL prevailing-rule semantics); a host that
+    # IS a public suffix (n == depth) has no registrable domain below
+    # it — return the host itself rather than inventing one
+    result = last(2)
+    for depth in sorted(by_depth):
+        group = by_depth[depth]
+        result = F.when(
+            last(depth).isin(group) & (n > depth), last(depth + 1)
+        ).otherwise(result)
+    return F.when(n <= 2, F.concat_ws(".", labels)).otherwise(result)
 
 
 def canonicalize_pages(pages: DataFrame,
-                       url_col: str = "url") -> DataFrame:
+                       url_col: str = "url",
+                       extra_suffixes: list[str] | None = None,
+                       suffix_file: str | None = None) -> DataFrame:
     """pages + canonical_url + domain columns (pure map — no shuffle,
-    no UDF; an optional pre-stage before the web pipeline's dedup)."""
+    no UDF; an optional pre-stage before the web pipeline's dedup).
+    `suffix_file`/`extra_suffixes` thread through to
+    registrable_domain."""
     u = F.col(url_col)
     return pages.withColumn("canonical_url", canonical_url(u)) \
-                .withColumn("domain", registrable_domain(u))
+                .withColumn("domain", registrable_domain(
+                    u, extra_suffixes=extra_suffixes,
+                    suffix_file=suffix_file))
 
 
 def url_dedup(pages: DataFrame, url_col: str = "url",

@@ -140,6 +140,46 @@ def test_domain_stats(spark):
     assert got["other.org"] == (1, 1)
 
 
+def test_registrable_domain_suffix_file(spark, tmp_path):
+    """A PSL file changes eTLD+1 decisions the heuristic can't make:
+    blogspot.com is a public suffix in the real PSL (each blog is a
+    separate registrant), and suffixes deeper than 2 labels resolve
+    through the prevailing (deepest) rule."""
+    from edgar_finance_ontology_spark.functions.urls import (
+        registrable_domain,
+    )
+
+    psl = tmp_path / "suffixes.dat"
+    psl.write_text(
+        "// ===BEGIN PRIVATE DOMAINS===\n"
+        "# comment\n"
+        "blogspot.com\n"
+        "pvt.k12.ma.us\n"
+        "*.nom.br\n"        # wildcard -> base suffix kept
+        "!city.kobe.jp\n"   # exception rule ignored
+        "\n"
+    )
+    df = spark.createDataFrame(
+        [("https://alice.blogspot.com/post",),
+         ("https://school.pvt.k12.ma.us/a",),
+         ("https://www.example.com/x",),
+         ("https://blogspot.com/",)],
+        "url string")
+
+    def doms(**kw):
+        return [r["d"] for r in df.select(
+            registrable_domain(F.col("url"), **kw).alias("d")).collect()]
+
+    # heuristic default: blogspot.com collapses every blog together
+    assert doms() == ["blogspot.com", "ma.us", "example.com",
+                      "blogspot.com"]
+    # with the PSL: each blog is its own registrable domain, the
+    # 4-label suffix resolves, and a host that IS a suffix stays put
+    assert doms(suffix_file=str(psl)) == [
+        "alice.blogspot.com", "school.pvt.k12.ma.us", "example.com",
+        "blogspot.com"]
+
+
 def test_canonical_url_random_grammar_idempotent(spark):
     """150 urls from a randomized grammar (schemes, casing, ports,
     trailing slashes, tracking + real params, fragments): canonical
