@@ -1,0 +1,272 @@
+"""Company-grain incremental recompute for late pages (round-4 verdict
+item 2).
+
+At a rolling 10^12-page crawl, incremental maintenance is the normal
+mode: one late page must NOT force a full pipeline re-run. The
+bucket-grain lineage (plans/lineage.py run_stage) resumes a KILLED run
+but can't absorb new input into completed buckets; this module owns
+the append workflow:
+
+  1. URL-grain front-end stores — extraction and fact-record parsing
+     run ONLY for urls not yet in the store and append (the expensive
+     Python stages never touch old pages again);
+  2. a company-grain manifest (lineage.company_manifest: cik ->
+     content hash of its full fact set + profile) diffs against the
+     stored generation to find DIRTY ciks — the company-grain analog
+     of the reference's per-CIK date-stamped cache
+     (select_xbrl_tags.py:1406-1461);
+  3. observations are rebuilt for dirty ciks only and PATCHED into a
+     cik-bucket-partitioned store via dynamic partition overwrite
+     (the directory-parquet analog of Iceberg overwrite-by-partition);
+     clean buckets' files are not rewritten;
+  4. the bounded downstream aggregates (benchmarks, rankings) are
+     recomputed from the patched observations — they are K rows per
+     (scope, metric), never corpus-scale;
+  5. the triple table, partitioned by (family, cik_bucket), is patched
+     the same way: per-cik families (company + observation triples)
+     only for dirty buckets; the bounded global families (dims,
+     benchmark, ranking triples) rewritten each run.
+
+Everything per-cik-independent in the engine (every selection /
+derivation window is partitioned by cik — operators/observations.py,
+selection.py) makes step 3 exact: a company's observations are a pure
+function of its own facts + profile, so patch == from-scratch, which
+tests/test_incremental.py asserts row-for-row.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.benchmarks import compute_benchmarks
+from ..operators.extraction import with_extracted_text
+from ..operators.observations import build_observations
+from ..operators.rankings import compute_rankings
+from ..emit.triples import (
+    benchmark_triples, company_triples, entity_dim_triples,
+    instance_dim_triples, observation_triples, ranking_triples,
+)
+from .web_pipeline import (
+    assemble_facts, parse_company_profiles, parse_fact_records,
+)
+
+
+def cik_bucket_col(cik, n_buckets: int):
+    return F.pmod(F.crc32(F.lpad(cik, 10, "0")), F.lit(n_buckets)) \
+        .cast("int")
+
+
+def _exists(path: pathlib.Path) -> bool:
+    return path.exists() and any(path.iterdir())
+
+
+class _DynamicOverwrite:
+    """Scoped spark.sql.sources.partitionOverwriteMode=dynamic — an
+    overwrite write replaces ONLY the partitions present in the
+    written frame (Iceberg overwrite-by-partition stand-in)."""
+
+    KEY = "spark.sql.sources.partitionOverwriteMode"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.KEY, "static")
+        self.spark.conf.set(self.KEY, "dynamic")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(self.KEY, self.prev)
+
+
+def run_incremental(
+    spark: SparkSession,
+    pages: DataFrame,
+    fy: int,
+    store_dir: str,
+    n_cik_buckets: int = 64,
+    include_industry_scope: bool = False,
+    include_sector_scope: bool = False,
+    **pipeline_kw,
+) -> dict:
+    """Process `pages` against the stores under `store_dir`; first run
+    is a cold build, later runs recompute only companies whose input
+    content changed. Returns the final tables plus a `metrics` dict
+    recording exactly how much work the run did."""
+    from .lineage import company_manifest, dirty_companies
+
+    store = pathlib.Path(store_dir)
+    store.mkdir(parents=True, exist_ok=True)
+    ext_dir = store / "extracted"
+    rec_dir = store / "records"
+    man_dir = store / "manifest"
+    obs_dir = store / "observations"
+    tri_dir = store / "triples"
+    metrics: dict = {}
+
+    # deterministic one-row-per-url view of the incoming crawl slice
+    # (duplicate urls are normal; earliest capture + content tie-break
+    # wins, matching url_dedup's contract)
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").asc_nulls_last(), F.md5(F.col("html")).asc()
+    )
+    pages_u = (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1).drop("_rn")
+    )
+
+    # -- 1. url-grain extraction store ------------------------------
+    if _exists(ext_dir):
+        known = spark.read.parquet(str(ext_dir)).select("url")
+        new_pages = pages_u.join(known, "url", "left_anti")
+    else:
+        new_pages = pages_u
+    # checkpoint the freshly-extracted slice ONCE: both the store
+    # append and the record parse read it, and extraction is the
+    # expensive Python stage that must run once per new page
+    new_ext = with_extracted_text(new_pages).select("url", "text") \
+        .localCheckpoint(eager=True)
+    metrics["new_pages"] = new_ext.count()
+    if metrics["new_pages"]:
+        new_ext.write.mode("append").parquet(str(ext_dir))
+    extracted = spark.read.parquet(str(ext_dir))
+
+    # -- 2. url-grain fact-record store -----------------------------
+    if metrics["new_pages"]:
+        parse_fact_records(new_ext).write.mode("append") \
+            .parquet(str(rec_dir))
+    records = (
+        spark.read.parquet(str(rec_dir)) if _exists(rec_dir)
+        else parse_fact_records(new_ext).limit(0)
+    )
+    facts = assemble_facts(records).localCheckpoint(eager=True)
+    companies = parse_company_profiles(extracted).localCheckpoint(eager=True)
+
+    # -- 3. manifest diff -> dirty ciks -----------------------------
+    m_old = (
+        spark.read.parquet(str(man_dir)) if _exists(man_dir) else None
+    )
+    m_new = company_manifest(facts, companies).localCheckpoint(eager=True)
+    dirty = dirty_companies(m_new, m_old).localCheckpoint(eager=True)
+    metrics["n_companies"] = m_new.count()
+    metrics["n_dirty"] = dirty.count()
+
+    # -- 4. patch observations for dirty ciks only ------------------
+    if metrics["n_dirty"]:
+        facts_d = facts.join(dirty, "cik", "semi")
+        companies_d = companies.join(dirty, "cik", "semi") \
+            .localCheckpoint(eager=True)
+        obs_dirty = build_observations(
+            facts_d, companies_d, fy, **pipeline_kw
+        ).localCheckpoint(eager=True)
+        metrics["obs_rows_recomputed"] = obs_dirty.count()
+        bucketed = obs_dirty.withColumn(
+            "cik_bucket", cik_bucket_col(F.col("cik"), n_cik_buckets)
+        )
+        dirty_buckets = dirty.select(
+            cik_bucket_col(F.col("cik"), n_cik_buckets).alias("cik_bucket")
+        ).distinct()
+        metrics["obs_buckets_rewritten"] = dirty_buckets.count()
+        if _exists(obs_dir):
+            kept = (
+                spark.read.parquet(str(obs_dir))
+                .join(dirty_buckets, "cik_bucket", "semi")
+                .join(dirty, "cik", "left_anti")
+                .select(*bucketed.columns)
+            )
+            out = kept.unionByName(bucketed)
+        else:
+            out = bucketed
+        with _DynamicOverwrite(spark):
+            out.write.mode("overwrite").partitionBy("cik_bucket") \
+                .parquet(str(obs_dir))
+    else:
+        metrics["obs_rows_recomputed"] = 0
+        metrics["obs_buckets_rewritten"] = 0
+        companies_d = companies.limit(0)
+        obs_dirty = None
+    observations = spark.read.parquet(str(obs_dir)).drop("cik_bucket") \
+        .localCheckpoint(eager=True)
+
+    # -- 5. bounded downstream aggregates: full recompute -----------
+    benchmarks = compute_benchmarks(observations, fy).cache()
+    rankings = compute_rankings(observations, fy).cache()
+
+    # -- 6. patch the triple table ----------------------------------
+    # per-cik families carry their cik inside the subject IRI
+    # (efin:CIK<10> / efin:obs-<10>-...), so the partition key is
+    # recoverable from the triple itself
+    subj_cik = F.regexp_extract("subj", r"(?:CIK|obs-)(\d{10})", 1)
+    if metrics["n_dirty"]:
+        percik_dirty = company_triples(companies_d).unionByName(
+            observation_triples(obs_dirty)
+        ).withColumn("family", F.lit("percik")) \
+         .withColumn("cik_bucket", cik_bucket_col(subj_cik, n_cik_buckets))
+        dirty_buckets = dirty.select(
+            cik_bucket_col(F.col("cik"), n_cik_buckets).alias("cik_bucket")
+        ).distinct()
+        if _exists(tri_dir):
+            kept_t = (
+                spark.read.parquet(str(tri_dir))
+                .where(F.col("family") == "percik")
+                .join(dirty_buckets, "cik_bucket", "semi")
+                .join(
+                    dirty.select(F.lpad("cik", 10, "0").alias("_dc")),
+                    subj_cik == F.col("_dc"), "left_anti",
+                )
+                .select(*percik_dirty.columns)
+            )
+            percik_out = kept_t.unionByName(percik_dirty)
+        else:
+            percik_out = percik_dirty
+    else:
+        percik_out = None
+
+    if metrics["n_dirty"]:
+        def _has_all_market(df: DataFrame) -> bool:
+            flag = df.agg(F.max(
+                F.when(
+                    (F.col("industry") == "") & (F.col("sector") == ""), 1
+                ).otherwise(0)
+            )).first()[0]
+            return flag == 1
+
+        needs_all = _has_all_market(benchmarks) or _has_all_market(rankings)
+        dims = entity_dim_triples(companies, needs_all).unionByName(
+            instance_dim_triples(observations)
+        ).dropDuplicates(["subj", "pred", "obj"])
+        global_out = (
+            dims
+            .unionByName(
+                benchmark_triples(benchmarks, include_industry_scope))
+            .unionByName(ranking_triples(
+                rankings, include_industry_scope, include_sector_scope))
+            .withColumn("family", F.lit("global"))
+            .withColumn("cik_bucket", F.lit(-1).cast("int"))
+        )
+        to_write = (
+            global_out if percik_out is None
+            else percik_out.unionByName(global_out)
+        )
+        with _DynamicOverwrite(spark):
+            to_write.write.mode("overwrite") \
+                .partitionBy("family", "cik_bucket").parquet(str(tri_dir))
+        # -- 7. commit the new manifest generation ------------------
+        m_new.write.mode("overwrite").parquet(str(man_dir))
+    # n_dirty == 0: every store (triples, manifest) is already current
+    # — a clean re-run rewrites NOTHING (asserted via file mtimes in
+    # tests/test_incremental.py)
+    triples = spark.read.parquet(str(tri_dir)) \
+        .drop("family", "cik_bucket")
+
+    return {
+        "observations": observations,
+        "benchmarks": benchmarks,
+        "rankings": rankings,
+        "companies": companies,
+        "facts": facts,
+        "triples": triples,
+        "metrics": metrics,
+    }

@@ -105,3 +105,59 @@ def run_stage(
     return log.spark.read.parquet(stage_dir) if pathlib.Path(
         stage_dir
     ).exists() else out
+
+
+def company_manifest(facts: DataFrame, companies: DataFrame) -> DataFrame:
+    """(cik, content_hash) — one row per company, hash of its ENTIRE
+    contributing input set (fact rows + profile row). The company-grain
+    analog of the reference's per-CIK date-stamped cache
+    (select_xbrl_tags.py:1406-1461): the cache key there is the CIK and
+    the freshness token is the snapshot date; here the token is a
+    content hash, so ANY late page that changes a company's fact set —
+    new fact, revised value, profile update — flips exactly that
+    company's hash and nothing else.
+
+    Plan shape: one md5 per row (pure map), one map-side-combined
+    aggregation per table keyed by cik. The per-cik collect_list is
+    bounded by a company's own fact count (thousands, not corpus-
+    scale); sort_array makes the hash independent of row order and
+    partitioning. Field separator is \\x1f, never \\x00 (pandas
+    C-string key trap, round 3)."""
+    def row_hash(df: DataFrame):
+        cols = [c for c in sorted(df.columns) if c != "cik"]
+        return F.md5(F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x02"))
+              for c in cols],
+        ))
+
+    def table_hash(df: DataFrame, alias: str) -> DataFrame:
+        return df.groupBy("cik").agg(
+            F.md5(F.concat_ws(
+                "", F.sort_array(F.collect_list(row_hash(df)))
+            )).alias(alias)
+        )
+
+    fh = table_hash(facts, "facts_hash")
+    ph = table_hash(companies, "profile_hash")
+    return fh.join(ph, "cik", "full_outer").select(
+        "cik",
+        F.md5(F.concat_ws(
+            "\x1f",
+            F.coalesce("facts_hash", F.lit("")),
+            F.coalesce("profile_hash", F.lit("")),
+        )).alias("content_hash"),
+    )
+
+
+def dirty_companies(manifest_new: DataFrame,
+                    manifest_old: DataFrame | None) -> DataFrame:
+    """ciks whose content hash is new or changed (anti join on the
+    (cik, content_hash) pair). Companies REMOVED from the input are
+    not handled — a crawl is append-only; a true retraction workflow
+    would delete their partitions explicitly."""
+    if manifest_old is None:
+        return manifest_new.select("cik")
+    return manifest_new.join(
+        manifest_old, ["cik", "content_hash"], "left_anti"
+    ).select("cik")
