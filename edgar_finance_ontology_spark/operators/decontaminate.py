@@ -132,3 +132,82 @@ def bloom_flag_contaminated(train: DataFrame, bloom: dict,
     return slim.mapInPandas(
         probe, f"id {id_type}, n_grams int, flagged_grams int"
     )
+
+
+def near_dup_decontaminate(
+    df: DataFrame,
+    test_source: str,
+    threshold: float = 0.05,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """PARAPHRASE-level decontamination: training docs whose shingle
+    Jaccard with any held-out (`test_source`) doc clears `threshold`,
+    found via a cross-source MinHash-LSH JOIN. The exact 8-gram
+    overlap (cross_source_overlap) and the bloom filter catch verbatim
+    contamination; an eval item lightly rephrased inside a training
+    page shares few exact 8-grams but keeps a high shingle Jaccard —
+    this is the standard near-dup decontamination pass
+    (GPT-3/The Pile methodology) as a DataFrame plan.
+
+    Output: (test_id, n_train_near_dups, max_jaccard) per contaminated
+    held-out doc — the same bounded reporting shape as
+    cross_source_overlap.
+
+    100-TB posture: signatures are computed ONCE over the union (the
+    narrow minhash stage is volume-proportional); the held-out side's
+    band buckets are a bounded frame (benchmarks are millions of rows
+    at most) and BROADCAST against the training buckets, so the
+    training corpus is never shuffled for the candidate join and never
+    self-joins; hot training buckets (template pages hashing
+    identically in one band) are capped at `max_bucket` exactly like
+    the in-corpus LSH dedup; exact Jaccard verification runs only on
+    the surviving candidate pairs. Fully md5-deterministic — the
+    DuckDB oracle replays every stage (queries.SQL_NEAR_DUP_DECON)."""
+    from .dedup import (
+        jaccard_on_pairs, lsh_bands, minhash_signatures, word_shingles,
+    )
+
+    slim = df.select(
+        F.col(id_col).alias("_did"), F.col(source_col).alias("_src"),
+        F.col(text_col).alias("_text"),
+    )
+    sigs = minhash_signatures(
+        slim, text_col="_text", id_col="_did", n_hashes=n_hashes,
+        shingle_n=shingle_n,
+    )
+    src = slim.select(F.col("_did").alias("id"), "_src")
+    b = lsh_bands(sigs, bands=bands).join(src, "id")
+    train_b = b.where(F.col("_src") != test_source)
+    eval_b = b.where(F.col("_src") == test_source)
+    # cap HOT TRAINING buckets (non-discriminative bands); held-out
+    # docs in those buckets still pair through their other bands
+    sizes = train_b.groupBy("band", "bucket").agg(
+        F.count("*").alias("_n")
+    ).where(F.col("_n") <= max_bucket)
+    train_b = train_b.join(sizes.select("band", "bucket"),
+                           ["band", "bucket"], "left_semi")
+    pairs = (
+        train_b.join(
+            F.broadcast(eval_b.select(
+                "band", "bucket", F.col("id").alias("id_b"))),
+            ["band", "bucket"],
+        )
+        .select(F.col("id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    sh = word_shingles(slim, text_col="_text", n=shingle_n, id_col="_did")
+    j = jaccard_on_pairs(pairs, sh)
+    return (
+        j.where(F.col("jaccard") >= threshold)
+        .groupBy(F.col("id_b").alias("test_id"))
+        .agg(
+            F.count("*").alias("n_train_near_dups"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )

@@ -1301,6 +1301,143 @@ FROM hits GROUP BY 1 ORDER BY 1
 """
 
 
+def q_bm25_topk(spark, sf):
+    """BM25 top-5 documents for 3 probe queries (the first 8 tokens of
+    docs 0/1/2 — self-retrieval probes derived from the corpus itself,
+    so both engines construct identical queries). Integer-bit idf +
+    decimal score sums keep the scores engine-portable."""
+    from .operators.dedup import tokens_col
+    from .operators.retrieval import bm25_topk
+
+    d = _t(spark, sf, "documents")
+    probes = d.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(tokens_col(F.col("text")), 1, 8).alias("terms"),
+    )
+    return bm25_topk(d, probes, k=5).orderBy("query_id", "rank")
+
+
+def _sql_bm25(k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin generated from the SAME Python-computed constants
+    the Spark operator embeds (numeric literals in DuckDB default to
+    DECIMAL — every constant is CAST AS DOUBLE via its exact repr)."""
+    d = lambda x: f"CAST('{x!r}' AS DOUBLE)"  # noqa: E731
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(string_split(trim(lower(text)), ' ')) AS token
+  FROM documents),
+lens AS (
+  SELECT doc_id AS doc,
+         len(list_filter(string_split(trim(lower(text)), ' '),
+             t -> t <> '')) AS len
+  FROM documents),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len) AS DOUBLE) / count(*) AS avg_len FROM lens),
+qt AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(
+    list_slice(string_split(trim(lower(text)), ' '), 1, 8)) AS token
+  FROM documents WHERE doc_id < 3),
+tf AS (
+  SELECT doc, token, count(*) AS tf FROM toks
+  WHERE token <> '' AND token IN (SELECT token FROM qt)
+  GROUP BY 1, 2),
+dfq AS (
+  SELECT token,
+         CAST(floor(log2(CAST((SELECT n_docs FROM stats) + 1 AS DOUBLE)
+                         / count(*))) AS BIGINT) AS idf_bits
+  FROM tf GROUP BY token),
+scored AS (
+  SELECT q.query_id, t.doc,
+         sum(CAST(d.idf_bits * (t.tf * {d(k1p1)} / (t.tf + {d(k1)} *
+             ({d(one_minus_b)} + {d(b)} * l.len /
+              (SELECT avg_len FROM stats))))
+             AS DECIMAL(38,12))) AS score_d
+  FROM tf t
+  JOIN dfq d USING (token)
+  JOIN qt q USING (token)
+  JOIN lens l ON l.doc = t.doc
+  GROUP BY 1, 2),
+r AS (
+  SELECT query_id, doc AS doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_d DESC, doc ASC) AS rank,
+         round(CAST(score_d AS DOUBLE), 6) AS score
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM r
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+SQL_BM25 = _sql_bm25()
+
+
+def q_near_dup_decon(spark, sf):
+    """Paraphrase-level decontamination: training docs whose shingle
+    Jaccard with any held-out ('src0') doc clears the threshold, via a
+    cross-source MinHash-LSH join (train buckets never self-join; the
+    held-out bucket side broadcasts)."""
+    from .operators.decontaminate import near_dup_decontaminate
+
+    d = _t(spark, sf, "documents")
+    return near_dup_decontaminate(d, "src0", threshold=0.05) \
+        .orderBy("test_id")
+
+
+SQL_NEAR_DUP_DECON = """
+WITH slim AS (
+  SELECT doc_id AS id, source, string_split(trim(lower(text)), ' ') AS t
+  FROM documents),
+sh0 AS (
+  SELECT DISTINCT id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
+  FROM slim, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)),
+sh3 AS (SELECT id, shingle FROM sh0
+        WHERE len(string_split(shingle, ' ')) = 3),
+mh AS (
+  SELECT id, seed,
+         min(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS minhash
+  FROM sh3, UNNEST(range(0, 8)) AS s(seed) GROUP BY 1, 2),
+bands AS (
+  SELECT id, seed % 4 AS band,
+         md5(list_aggregate(list_sort(list(concat(CAST(seed AS VARCHAR),
+             ':', minhash))), 'string_agg', ',')) AS bucket
+  FROM mh GROUP BY 1, 2),
+src AS (SELECT DISTINCT id, source FROM slim),
+bs AS (SELECT b.id, b.band, b.bucket, s.source
+       FROM bands b JOIN src s USING (id)),
+train_b0 AS (SELECT * FROM bs WHERE source <> 'src0'),
+train_b AS (
+  SELECT * FROM train_b0
+  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 64),
+eval_b AS (SELECT * FROM bs WHERE source = 'src0'),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, e.id AS id_b
+  FROM train_b a JOIN eval_b e
+    ON a.band = e.band AND a.bucket = e.bucket),
+sizes AS (SELECT id, count(*) AS n FROM sh3 GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh3 a ON a.id = c.id_a
+  JOIN sh3 b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+jac AS (
+  SELECT c.id_a, c.id_b,
+         CAST(coalesce(i.inter, 0) AS DOUBLE)
+           / (na.n + nb.n - coalesce(i.inter, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i USING (id_a, id_b)
+  JOIN sizes na ON na.id = c.id_a
+  JOIN sizes nb ON nb.id = c.id_b)
+SELECT id_b AS test_id, count(*) AS n_train_near_dups,
+       round(max(jaccard), 6) AS max_jaccard
+FROM jac WHERE jaccard >= 0.05
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_pii_scrub(spark, sf):
     """PII masking sweep stats over the corpus (emails/cards/IBANs/
     SSNs/IPs/phones/addresses -> tokens); corpus-level scrub summary."""
@@ -1573,6 +1710,8 @@ QUERIES = {
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
     "repetition_scores": (q_repetition, SQL_REPETITION),
     "cross_source_overlap": (q_cross_source_overlap, SQL_CROSS_SOURCE),
+    "near_dup_decontaminate": (q_near_dup_decon, SQL_NEAR_DUP_DECON),
+    "bm25_topk": (q_bm25_topk, SQL_BM25),
     "pii_scrub_stats": (q_pii_scrub, SQL_PII),
     "pii_card_stats": (q_pii_cards, SQL_PII_CARDS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),

@@ -96,3 +96,57 @@ def test_bloom_superset_of_exact_check(spark):
     assert truly, "constructed overlap must exist"
     assert truly <= flagged
     assert exact.count() > 0
+
+
+def test_near_dup_decontaminate_catches_paraphrase(spark):
+    """A training doc that shares most shingles with a held-out doc
+    (a light rephrase) is flagged; unrelated docs are not; the
+    held-out doc never matches itself."""
+    from pyspark.sql import functions as F
+
+    from edgar_finance_ontology_spark.operators.decontaminate import (
+        near_dup_decontaminate,
+    )
+
+    eval_text = ("the quick brown fox jumps over the lazy dog near "
+                 "the river bank every single morning")
+    # paraphrase: one word changed -> high shingle jaccard
+    para = eval_text.replace("lazy", "sleepy")
+    rows = [
+        (1, eval_text, "eval"),
+        (2, para, "train"),
+        (3, "completely unrelated text about spark data pipelines "
+            "and parquet files at scale", "train"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = near_dup_decontaminate(
+        df, "eval", threshold=0.3).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["test_id"] == 1 and r["n_train_near_dups"] == 1
+    assert 0.3 <= r["max_jaccard"] < 1.0
+
+    # identical copy across sources -> jaccard exactly 1.0
+    df2 = spark.createDataFrame(
+        rows + [(4, eval_text, "train")],
+        "doc_id long, text string, source string")
+    got2 = {r["test_id"]: r for r in near_dup_decontaminate(
+        df2, "eval", threshold=0.3).collect()}
+    assert got2[1]["n_train_near_dups"] == 2
+    assert float(got2[1]["max_jaccard"]) == 1.0
+
+
+def test_near_dup_decon_broadcasts_heldout_side(spark):
+    """Plan audit: the candidate join must broadcast the held-out
+    bucket side — the training corpus is never shuffled into a
+    sort-merge join for candidates."""
+    from edgar_finance_ontology_spark.operators.decontaminate import (
+        near_dup_decontaminate,
+    )
+
+    rows = [(i, f"doc number {i} with some shared words here", 
+             "train" if i else "eval") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = near_dup_decontaminate(df, "eval", threshold=0.01)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
