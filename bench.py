@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "pii_scrub_stats", "pii_card_stats", "stratified_sample",
     "mix_token_budgets", "quality_funnel",
     "pack_token_shards",
+    "near_dup_decontaminate", "bm25_topk", "quality_classifier",
 ]
 
 

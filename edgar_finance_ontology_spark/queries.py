@@ -1301,6 +1301,55 @@ FROM hits GROUP BY 1 ORDER BY 1
 """
 
 
+def q_quality_classifier(spark, sf):
+    """Trained hashed-feature quality classifier (committed logistic
+    model distilled from the quality rubric) applied corpus-wide —
+    per-doc margin + prediction, margins as decimal sums (portable)."""
+    from .operators.classifier import classifier_scores
+
+    d = _t(spark, sf, "documents")
+    return classifier_scores(d).orderBy("id")
+
+
+def _sql_quality_classifier() -> str:
+    """DuckDB twin with the SAME committed weights rendered as literal
+    VALUES rows (exact reprs, cast to DOUBLE at use sites)."""
+    from .operators.classifier import load_linear_model
+
+    weights, bias = load_linear_model()
+    vals = ", ".join(
+        f"({i}, CAST('{w!r}' AS DOUBLE))" for i, w in enumerate(weights)
+    )
+    return f"""
+WITH w(bucket, w) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id AS id, unnest(string_split(trim(lower(text)), ' ')) AS token
+  FROM documents),
+feats AS (
+  SELECT DISTINCT id,
+         CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % {len(weights)}
+              AS INT) AS bucket
+  FROM toks WHERE token <> ''),
+m AS (
+  SELECT f.id, count(*) AS n_feature_buckets,
+         sum(CAST(w.w AS DECIMAL(38,12))) AS m
+  FROM feats f JOIN w USING (bucket) GROUP BY 1),
+j AS (
+  SELECT d.doc_id AS id,
+         coalesce(m.n_feature_buckets, 0) AS n_feature_buckets,
+         coalesce(m.m, CAST(0 AS DECIMAL(38,12)))
+           + CAST('{bias!r}' AS DECIMAL(38,12)) AS margin_d
+  FROM documents d LEFT JOIN m ON m.id = d.doc_id)
+SELECT id, CAST(n_feature_buckets AS INT) AS n_feature_buckets,
+       round(CAST(margin_d AS DOUBLE), 6) AS margin,
+       margin_d > 0 AS pred
+FROM j ORDER BY id
+"""
+
+
+SQL_QUALITY_CLF = _sql_quality_classifier()
+
+
 def q_bm25_topk(spark, sf):
     """BM25 top-5 documents for 3 probe queries (the first 8 tokens of
     docs 0/1/2 — self-retrieval probes derived from the corpus itself,
@@ -1712,6 +1761,7 @@ QUERIES = {
     "cross_source_overlap": (q_cross_source_overlap, SQL_CROSS_SOURCE),
     "near_dup_decontaminate": (q_near_dup_decon, SQL_NEAR_DUP_DECON),
     "bm25_topk": (q_bm25_topk, SQL_BM25),
+    "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLF),
     "pii_scrub_stats": (q_pii_scrub, SQL_PII),
     "pii_card_stats": (q_pii_cards, SQL_PII_CARDS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
