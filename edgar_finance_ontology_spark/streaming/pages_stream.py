@@ -196,3 +196,42 @@ def stream_mention_triples(
         .outputMode("append")
         .start()
     )
+
+
+def stream_incremental_maintenance(
+    spark: SparkSession,
+    pages_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    fy: int,
+    **inc_kw,
+):
+    """ROLLING-CRAWL maintenance mode (north_rule): late pages arrive
+    as new files under `pages_dir`; each microbatch runs the
+    company-grain incremental update (plans/incremental.py) against
+    the shared stores — only companies whose content actually changed
+    are re-derived, everything else's partitions stay untouched.
+
+    foreachBatch + AvailableNow: the file-source checkpoint guarantees
+    each page file is processed exactly once across restarts, and
+    run_incremental's url-grain stores make a REPLAYED batch (crash
+    between checkpoint commit and store append) idempotent — a url
+    already in the extraction store is anti-joined away, so at-least-
+    once delivery composes to exactly-once store contents. Returns the
+    StreamingQuery; batch metrics accumulate on the returned query via
+    `.lastProgress` and in the store manifests."""
+    from ..plans.incremental import run_incremental
+
+    pages = read_pages_stream(spark, pages_dir)
+
+    def _apply(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        run_incremental(spark, batch_df, fy, store_dir, **inc_kw)
+
+    return (
+        pages.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -172,3 +172,52 @@ def test_late_page_rederives_exactly_one_company(spark, inc_world):
     ) != _norm(
         cold["observations"].where(F.col("cik") == cik10)
     )
+
+
+def test_streaming_incremental_maintenance(spark, tmp_path):
+    """Rolling-crawl mode: pages arrive as files; each AvailableNow
+    drain applies company-grain patches exactly once. A late-page file
+    re-derives only its company; a restart with the same checkpoint
+    reprocesses nothing."""
+    from edgar_finance_ontology_spark.streaming.pages_stream import (
+        stream_incremental_maintenance,
+    )
+
+    pages = _pages(spark)
+    pages_dir = str(tmp_path / "pages_in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    pages.drop("bucket").write.mode("append").parquet(pages_dir)
+
+    q = stream_incremental_maintenance(spark, pages_dir, store, ckpt, 2024)
+    q.awaitTermination()
+    obs0 = _store_snapshot(store, "observations")
+    assert obs0  # cold drain built the store
+
+    # late-page file: one company's amendment
+    cold_obs = spark.read.parquet(store + "/observations")
+    cik10, late = _late_page_row(spark, cold_obs)
+    late.drop("bucket").write.mode("append").parquet(pages_dir)
+    q2 = stream_incremental_maintenance(spark, pages_dir, store, ckpt, 2024)
+    q2.awaitTermination()
+    from edgar_finance_ontology_spark.plans.incremental import (
+        cik_bucket_col,
+    )
+
+    dirty_bucket = late.select(
+        cik_bucket_col(F.lit(cik10), 64).alias("b")).first()["b"]
+    obs1 = _store_snapshot(store, "observations")
+    for rel, mt in obs0.items():
+        if f"cik_bucket={dirty_bucket}/" not in rel:
+            assert obs1.get(rel) == mt, rel
+
+    # the maintained world equals a from-scratch run on ALL pages
+    scratch = _scratch(spark, pages.unionByName(late))
+    maintained = spark.read.parquet(store + "/observations") \
+        .drop("cik_bucket")
+    assert _norm(maintained) == _norm(scratch["observations"])
+
+    # restart with the same checkpoint: nothing reprocessed
+    q3 = stream_incremental_maintenance(spark, pages_dir, store, ckpt, 2024)
+    q3.awaitTermination()
+    assert _store_snapshot(store, "observations") == obs1
