@@ -750,3 +750,113 @@ def pack_token_shards(df: DataFrame, shard_tokens: int,
         F.floor((cum - 1).cast("double") / shard_tokens)
         .cast("long").alias("shard_id"),
     )
+
+
+def mix_by_temperature(df: DataFrame, target_tokens: int,
+                       alpha: float = 0.5,
+                       text_col: str = "text",
+                       strata_col: str = "source",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual/source
+    balancing rule: sampling share p_i ∝ n_i^alpha): per-source token
+    budgets are DERIVED from the corpus itself — alpha=1 reproduces
+    natural proportions, alpha→0 approaches uniform across sources —
+    then documents are kept by the same deterministic hash rule as
+    stratified_sample.
+
+    Portability contract (what makes the DuckDB twin replay the exact
+    rates): the per-source weight n^alpha uses sqrt for the default
+    alpha=0.5 — sqrt is CORRECTLY ROUNDED in IEEE 754, unlike pow
+    (libm pow differs across implementations by 1 ulp; custom alphas
+    work but the oracle pins 0.5) — and the normalizer Z folds the
+    weights SEQUENTIALLY IN ASCENDING ORDER, matching DuckDB's
+    list_aggregate(list_sort(...), 'sum') fold, so Z is bit-identical
+    regardless of source enumeration order.
+
+    100-TB posture: identical to mix_to_token_budgets — one map-side-
+    combined totals aggregation (K driver rows), then a narrow
+    hash-threshold filter; no data shuffle."""
+    import math
+
+    from .dedup import tokens_col
+
+    totals = {
+        r["_src"]: int(r["_tok"] or 0)
+        for r in df.groupBy(F.col(strata_col).alias("_src")).agg(
+            F.sum(F.size(tokens_col(F.col(text_col)))).alias("_tok")
+        ).collect()
+    }
+    if alpha == 0.5:
+        weights = {s: math.sqrt(float(t)) for s, t in totals.items()}
+    else:
+        weights = {s: float(t) ** alpha for s, t in totals.items()}
+    z = 0.0
+    for w in sorted(weights.values()):
+        z = z + w
+    rates = {}
+    for s, t in totals.items():
+        if t and z:
+            rates[s] = min(1.0, float(target_tokens) * weights[s] / z / t)
+        else:
+            rates[s] = 0.0
+    return stratified_sample(df, rates, strata_col, id_col,
+                             default_rate=0.0)
+
+
+def substring_dup_stats(df: DataFrame, window_tokens: int = 50,
+                        max_window_df: int = 1000,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """MassiveText/RefinedWeb-style EXACT-SUBSTRING duplication signal:
+    for each document, how many of its `window_tokens`-token rolling
+    windows also appear verbatim in ANOTHER document. Long shared
+    spans are what this catches — syndicated article bodies, quoted
+    license blocks, mirrored docs — which 3-gram Jaccard (similarity)
+    and 8-gram decontamination (cross-source) are not tuned for.
+    Output: (id, n_windows, n_dup_windows, dup_window_frac) — the
+    removal decision (trim the span vs drop the doc) is policy and
+    stays with the caller.
+
+    Plan shape: rolling windows are generated inside codegen
+    (transform over a token-index sequence — narrow), hashed to md5;
+    ONE aggregation computes each window hash's distinct-doc count;
+    windows above `max_window_df` distinct docs are treated as shared
+    without enumeration (the boilerplate head of the distribution —
+    the same cap discipline as the dedup family, here it only
+    SATURATES the count, which is already past the threshold); the
+    per-doc rollup joins window rows to the (hash -> n_docs) frame.
+    Two shuffles total (window-hash agg, per-doc agg); never a pair
+    join, never n^2."""
+    from .dedup import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - window_tokens, F.lit(0))
+    )
+    win = F.transform(
+        idx, lambda i: F.md5(
+            F.concat_ws(" ", F.slice(toks, i + 1, window_tokens))
+        )
+    )
+    wins = (
+        df.select(F.col(id_col).alias("id"), F.explode(win).alias("h"),
+                  F.size(toks).alias("_nt"))
+        .where(F.col("_nt") >= window_tokens)
+        .drop("_nt")
+    )
+    docs_per_window = wins.groupBy("h").agg(
+        F.countDistinct("id").alias("n_docs")
+    )
+    j = wins.join(docs_per_window, "h")
+    return (
+        j.groupBy("id")
+        .agg(
+            F.count("*").cast("int").alias("n_windows"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("int").alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_window_frac",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6),
+        )
+    )

@@ -1652,6 +1652,89 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_temperature_mix(spark, sf):
+    """Temperature-based source mixing (p_i ∝ n_i^0.5, 4000-token
+    target): per-source kept summary. sqrt (correctly rounded in
+    IEEE) + ascending-order Z fold keep the rates engine-identical."""
+    from .operators.dedup import tokens_col
+    from .operators.textops import mix_by_temperature
+
+    d = _t(spark, sf, "documents")
+    kept = mix_by_temperature(d, target_tokens=4000, alpha=0.5)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(F.size(tokens_col(F.col("text"))))
+            .cast("long").alias("kept_tokens"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TEMPERATURE_MIX = r"""
+WITH tot AS (
+  SELECT source,
+         sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS t
+  FROM documents GROUP BY 1),
+z AS (
+  SELECT list_aggregate(list_sort(list(sqrt(CAST(t AS DOUBLE)))), 'sum')
+    AS z
+  FROM tot WHERE t > 0),
+r AS (
+  SELECT source,
+         least(CAST(1 AS DOUBLE),
+               CAST(4000 AS DOUBLE) * sqrt(CAST(t AS DOUBLE))
+                 / (SELECT z FROM z) / t) AS rate
+  FROM tot WHERE t > 0),
+s AS (
+  SELECT d.*, (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+              / 4294967296.0 AS frac, r.rate
+  FROM documents d JOIN r USING (source))
+SELECT source, count(*) AS n_kept,
+       CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+            AS BIGINT) AS kept_tokens,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM s WHERE frac < rate GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_substring_dup(spark, sf):
+    """Exact-substring duplication signal (15-token rolling windows):
+    per-doc shared-window counts — catches verbatim long spans that
+    3-gram Jaccard and 8-gram decontamination are not tuned for."""
+    from .operators.textops import substring_dup_stats
+
+    d = _t(spark, sf, "documents")
+    return substring_dup_stats(d, window_tokens=15).orderBy("id")
+
+
+def _sql_substring_dup(n: int = 15) -> str:
+    terms = ", ".join(f"t[i+{j}]" for j in range(1, n + 1))
+    return f"""
+WITH tl AS (
+  SELECT doc_id AS id, string_split(trim(lower(text)), ' ') AS t
+  FROM documents),
+wins AS (
+  SELECT id, md5(concat_ws(' ', {terms})) AS h
+  FROM tl, UNNEST(range(0, greatest(len(t) - {n}, 0) + 1)) AS u(i)
+  WHERE len(t) >= {n}),
+dpw AS (SELECT h, count(DISTINCT id) AS n_docs FROM wins GROUP BY 1)
+SELECT w.id, CAST(count(*) AS INT) AS n_windows,
+       CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS INT)
+         AS n_dup_windows,
+       round(CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS dup_window_frac
+FROM wins w JOIN dpw d USING (h)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+SQL_SUBSTRING_DUP = _sql_substring_dup()
+
+
 def q_quality_funnel(spark, sf):
     """Corpus-cleaning funnel report: cumulative per-stage survivor
     counts (ingested -> lang gate -> length gate -> dup-line gate)."""
@@ -1762,6 +1845,8 @@ QUERIES = {
     "near_dup_decontaminate": (q_near_dup_decon, SQL_NEAR_DUP_DECON),
     "bm25_topk": (q_bm25_topk, SQL_BM25),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLF),
+    "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
+    "substring_dup_stats": (q_substring_dup, SQL_SUBSTRING_DUP),
     "pii_scrub_stats": (q_pii_scrub, SQL_PII),
     "pii_card_stats": (q_pii_cards, SQL_PII_CARDS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),

@@ -487,3 +487,73 @@ def test_pack_token_shards_is_distributed(spark):
     p = pack_token_shards(df, 100)
     plan = p._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_mix_by_temperature_rates(spark):
+    """alpha=1 gives every source the SAME keep-rate (natural
+    proportions); alpha=0.5 favors smaller sources (higher rate than a
+    bigger source); decisions are the deterministic hash rule."""
+    from edgar_finance_ontology_spark.operators.textops import (
+        mix_by_temperature,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "tok " * 50, "big"))
+    for i in range(40, 50):
+        rows.append((i, "tok " * 50, "small"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def kept_frac(alpha):
+        kept = mix_by_temperature(df, target_tokens=1500, alpha=alpha)
+        c = {r["source"]: r["n"] for r in
+             kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        return c.get("big", 0) / 40, c.get("small", 0) / 10
+
+    big1, small1 = kept_frac(1.0)
+    # same rate -> kept fractions agree up to hash-rule granularity
+    assert abs(big1 - small1) < 0.25
+    big5, small5 = kept_frac(0.5)
+    assert small5 > big5  # temperature flattens toward uniform
+    # deterministic: same call twice -> identical kept set
+    a = sorted(r["doc_id"] for r in
+               mix_by_temperature(df, 1500, 0.5).collect())
+    b = sorted(r["doc_id"] for r in
+               mix_by_temperature(df, 1500, 0.5).collect())
+    assert a == b
+
+
+def test_substring_dup_stats_semantics(spark):
+    """A verbatim 15-token span shared across docs is counted; a
+    window repeated only WITHIN one doc is not; short docs are
+    excluded; exact duplicates hit frac 1.0."""
+    from edgar_finance_ontology_spark.operators.textops import (
+        substring_dup_stats,
+    )
+
+    span = " ".join(f"w{i}" for i in range(15))
+    rows = [
+        (1, span + " tail one extra words here"),
+        (2, "lead in words " + span),
+        (3, "totally different content " + " ".join(
+            f"x{i}" for i in range(20))),
+        (4, span),                       # exact window, shared
+        (5, (span + " ") * 2 + "uniquetail" + " ".join(
+            f"z{i}" for i in range(15))),  # self-repeat + shared
+        (6, "short doc"),                # < 15 tokens -> excluded
+        (7, " ".join(f"y{i}" for i in range(30))),
+        (8, " ".join(f"y{i}" for i in range(30))),  # exact dup of 7
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in substring_dup_stats(
+        df, window_tokens=15).collect()}
+    assert 6 not in got
+    assert got[4]["n_windows"] == 1 and got[4]["n_dup_windows"] == 1
+    assert got[1]["n_dup_windows"] >= 1 and got[2]["n_dup_windows"] >= 1
+    assert got[3]["n_dup_windows"] == 0
+    # exact duplicates: every window shared
+    assert got[7]["dup_window_frac"] == 1.0
+    assert got[8]["dup_window_frac"] == 1.0
+    # windows unique to doc 5 (its self-repeated tail region) are NOT
+    # dup-counted by the within-doc repeat alone
+    assert got[5]["n_dup_windows"] < got[5]["n_windows"]
