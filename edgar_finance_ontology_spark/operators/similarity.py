@@ -312,3 +312,107 @@ def measure_ivf_recall(
         hits = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
         out[nprobe] = round(len(hits & truth) / len(truth), 4)
     return out
+
+
+def build_ivf_index(embeddings: DataFrame, store_dir: str,
+                    k: int = 8, iters: int = 3,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> list[list[float]]:
+    """Persist an IVF index: centroids (the k-row MODEL) plus the
+    corpus assignments parquet-partitioned BY CELL — the on-disk
+    layout that lets a search touch only its probe cells' directories
+    (the Iceberg-partition analog of an IVF inverted list). Returns
+    the centroids."""
+    import json
+    import pathlib
+
+    cents = kmeans_fit(embeddings, k=k, iters=iters,
+                       id_col=id_col, vec_col=vec_col)
+    store = pathlib.Path(store_dir)
+    store.mkdir(parents=True, exist_ok=True)
+    # the model is k×dim driver floats — a JSON sidecar, not a table
+    (store / "centroids.json").write_text(json.dumps(cents))
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    ).withColumn("cell", cell_assign_col(F.col("embedding"), cents))
+    assigned.write.mode("overwrite").partitionBy("cell") \
+        .parquet(str(store / "assignments"))
+    return cents
+
+
+def append_ivf_index(embeddings_new: DataFrame, store_dir: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> int:
+    """Incremental maintenance: assign NEW vectors to the EXISTING
+    trained cells and append — no refit, no touch of existing
+    partitions (the standard IVF append; periodic refit is a policy
+    decision for drifted corpora). Returns appended row count."""
+    import json
+    import pathlib
+
+    cents = json.loads(
+        (pathlib.Path(store_dir) / "centroids.json").read_text())
+    assigned = embeddings_new.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    ).withColumn("cell", cell_assign_col(F.col("embedding"), cents))
+    n = assigned.count()
+    if n:
+        assigned.write.mode("append").partitionBy("cell") \
+            .parquet(str(pathlib.Path(store_dir) / "assignments"))
+    return n
+
+
+def search_ivf_index(spark, store_dir: str, queries: DataFrame,
+                     k: int = 3, nprobe: int = 2,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Search the persisted index: compute each query's nprobe nearest
+    cells driver-side from the k-row model, then scan ONLY those
+    cells' partitions (the cell filter is a literal IN over the
+    partition column — directory pruning, asserted in tests) and rank
+    within them. The corpus side reads |probe-cell directories|, not
+    the table."""
+    import json
+    import pathlib
+
+    cents = json.loads(
+        (pathlib.Path(store_dir) / "centroids.json").read_text())
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    kc = len(cents)
+    dists = F.array(*[_dist2_to(F.col("qv"), c) for c in cents])
+    ranked = F.transform(
+        F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(kc - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        ),
+        lambda s: s["i"].cast("int"),
+    )
+    qp = q.withColumn("cell", F.explode(F.slice(ranked, 1, nprobe)))
+    # bounded collect: nq × nprobe cell ids -> literal partition filter
+    probe_cells = sorted({
+        r["cell"] for r in qp.select("cell").distinct().collect()
+    })
+    e = spark.read.parquet(
+        str(pathlib.Path(store_dir) / "assignments")
+    ).where(F.col("cell").isin(probe_cells))
+    j = e.withColumnRenamed("vec_id", "neighbor_id").join(
+        F.broadcast(qp), "cell"
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    j = j.withColumn("cos", cosine_col(F.col("qv"), F.col("embedding")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cell",
+                F.round("cos", 6).alias("cos"))
+    )

@@ -187,8 +187,15 @@ def run_incremental(
         metrics["obs_buckets_rewritten"] = 0
         companies_d = companies.limit(0)
         obs_dirty = None
-    observations = spark.read.parquet(str(obs_dir)).drop("cik_bucket") \
-        .localCheckpoint(eager=True)
+    # restore the canonical (cik, emission-index) order the partitioned
+    # read-back loses — the Turtle writer renders families in arrival
+    # order, and the byte-parity contract (incremental store -> TTL ==
+    # scratch run -> TTL) depends on it
+    from .pipeline import canonical_observations_order
+
+    observations = canonical_observations_order(
+        spark.read.parquet(str(obs_dir)).drop("cik_bucket")
+    ).localCheckpoint(eager=True)
 
     # -- 5. bounded downstream aggregates: full recompute -----------
     benchmarks = compute_benchmarks(observations, fy).cache()

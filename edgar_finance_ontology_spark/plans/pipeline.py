@@ -83,6 +83,17 @@ def run_pipeline(
     }
 
 
+def canonical_observations_order(obs: DataFrame) -> DataFrame:
+    """Restore the (cik, metric emission index) order build_observations
+    emits by construction — needed when observations round-trip
+    through a partitioned store (plans/incremental.py) whose read-back
+    order is by partition directory, not cik. The Turtle writer's
+    contract is 'families arrive canonically ordered'."""
+    return obs.orderBy(
+        "cik", _emission_idx_col(F.col("metric")), "metric", "end"
+    )
+
+
 def canonical_benchmarks_order(benchmarks: DataFrame, obs: DataFrame) -> DataFrame:
     """Order key = the reference's dict-insertion scan position
     (compute_benchmarks, select_xbrl_tags.py:640-668): industry groups

@@ -117,3 +117,37 @@ def test_multiprobe_recovers_cross_cell_neighbor(spark):
     assert cells[20] != cells[100]
     assert got1[0]["neighbor_id"] != 20
     assert got2[0]["neighbor_id"] == 20
+
+
+def test_ivf_index_lifecycle(spark, tmp_path):
+    """build -> search matches the in-memory multi-probe operator;
+    append assigns new vectors without refit; the search scan prunes
+    to the probe cells' partitions (PartitionFilters, not a data
+    filter)."""
+    store = str(tmp_path / "ivf")
+    from edgar_finance_ontology_spark.operators.similarity import (
+        append_ivf_index, build_ivf_index, search_ivf_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = build_ivf_index(e, store, k=8, iters=2)
+    q = e.orderBy("vec_id").limit(5)
+    got = search_ivf_index(spark, store, q, k=3, nprobe=2)
+    want = ann_ivf_multiprobe(e, q, cents, k=3, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    # plan audit: literal cell filter reaches the partition scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    # append: a vector placed exactly at centroid 0 lands in cell 0
+    # and becomes findable without refit
+    newv = spark.createDataFrame(
+        [(999_999, [float(x) for x in cents[0]])],
+        "vec_id long, embedding array<double>")
+    assert append_ivf_index(newv, store) == 1
+    got2 = search_ivf_index(spark, store, newv, k=1, nprobe=1).collect()
+    assert got2 and got2[0]["query_id"] == 999_999
+    # its nearest neighbor comes from cell 0
+    assert got2[0]["cell"] == 0
