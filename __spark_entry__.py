@@ -101,7 +101,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from edgar_finance_ontology_spark.queries import QUERIES
 
-    out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql}
+    # an entry may register a zero-arg CALLABLE instead of a string
+    # (e.g. the classifier twin renders its committed model weights
+    # into the SQL — deferred so importing the registry never loads
+    # model artifacts)
+    out = {
+        name: (sql() if callable(sql) else sql)
+        for name, (_fn, sql) in QUERIES.items() if sql
+    }
     out["kg_observations"] = _golden_sql("kg_observations")
     out["kg_triples"] = _golden_sql("kg_triples")
     return out

@@ -395,34 +395,55 @@ def build_triples(
     construction (one block per key), so no global shuffle-dedup is
     needed; only the bounded dim families get a safety dropDuplicates
     (SectorAll could collide with a literal 'All' sector)."""
-    parts = [company_triples(companies)]
-
-    def _has_all_market(df: DataFrame) -> bool:
-        # one partial-agg job instead of a limit(1).count() probe (the
-        # probe replays the frame's full lineage when it isn't cached)
-        flag = df.agg(F.max(
-            F.when((F.col("industry") == "") & (F.col("sector") == ""), 1)
-            .otherwise(0)
-        )).first()[0]
-        return flag == 1
-
-    needs_all = False
-    if benchmarks is not None:
-        needs_all = needs_all or _has_all_market(benchmarks)
-    if rankings is not None:
-        needs_all = needs_all or _has_all_market(rankings)
-    dims = entity_dim_triples(companies, needs_all).unionByName(
-        instance_dim_triples(observations)
-    ).dropDuplicates(["subj", "pred", "obj"])
-    parts.append(dims)
-    parts.append(observation_triples(observations))
-    if benchmarks is not None:
-        parts.append(benchmark_triples(benchmarks, include_industry_scope))
-    if rankings is not None:
-        parts.append(
-            ranking_triples(rankings, include_industry_scope, include_sector_scope)
-        )
+    parts = [
+        company_triples(companies),
+        global_family_triples(
+            observations, companies, benchmarks, rankings,
+            include_industry_scope, include_sector_scope,
+        ),
+        observation_triples(observations),
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    return out
+
+
+def has_all_market(df: DataFrame) -> bool:
+    """True when the frame carries an all-market scope row — one
+    partial-agg job instead of a limit(1).count() probe (the probe
+    replays the frame's full lineage when it isn't cached)."""
+    flag = df.agg(F.max(
+        F.when((F.col("industry") == "") & (F.col("sector") == ""), 1)
+        .otherwise(0)
+    )).first()[0]
+    return flag == 1
+
+
+def global_family_triples(
+    observations: DataFrame,
+    companies: DataFrame,
+    benchmarks: DataFrame | None = None,
+    rankings: DataFrame | None = None,
+    include_industry_scope: bool = False,
+    include_sector_scope: bool = False,
+) -> DataFrame:
+    """The BOUNDED global families (entity/instance dims + benchmark +
+    ranking triples) as one frame — the piece build_triples and the
+    incremental triple-store patcher (plans/incremental.py) share, so
+    the SectorAll/dim rules live in exactly one place."""
+    needs_all = False
+    if benchmarks is not None:
+        needs_all = needs_all or has_all_market(benchmarks)
+    if rankings is not None:
+        needs_all = needs_all or has_all_market(rankings)
+    out = entity_dim_triples(companies, needs_all).unionByName(
+        instance_dim_triples(observations)
+    ).dropDuplicates(["subj", "pred", "obj"])
+    if benchmarks is not None:
+        out = out.unionByName(
+            benchmark_triples(benchmarks, include_industry_scope))
+    if rankings is not None:
+        out = out.unionByName(ranking_triples(
+            rankings, include_industry_scope, include_sector_scope))
     return out

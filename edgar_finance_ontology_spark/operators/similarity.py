@@ -295,6 +295,10 @@ def measure_ivf_recall(
     measured, is marketing). Queries = the `n_queries` lowest-id
     vectors; recall = |IVF top-k ∩ exact top-k| / (k * n_queries).
 
+    The denominator is the SIZE OF THE EXACT TOP-K SET — equal to
+    k * n_queries on corpora where every query has >= k neighbors,
+    smaller on tiny inputs (brute_force_topk excludes self-matches).
+
     Deliberately driver-light: the only collected frames are the two
     (n_queries * k)-row top-k results per setting. At corpus scale you
     run this on a hash-sampled slice — recall is a property of the
@@ -305,6 +309,11 @@ def measure_ivf_recall(
     exact = brute_force_topk(embeddings, q, k=k, id_col=id_col,
                              vec_col=vec_col)
     truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    if not truth:
+        raise ValueError(
+            "measure_ivf_recall: empty exact baseline — the input has "
+            "no query with at least one non-self neighbor"
+        )
     out = {}
     for nprobe in nprobes:
         got = ann_ivf_multiprobe(embeddings, q, cents, k=k, nprobe=nprobe,

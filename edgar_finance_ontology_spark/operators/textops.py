@@ -496,7 +496,15 @@ def remove_boilerplate_lines(df: DataFrame, min_df: int = 5,
         .agg(F.countDistinct("id").alias("n_docs"))
         .where(F.col("n_docs") >= min_df)
         .select("h")
-    ).persist()
+    )
+    # localCheckpoint (not persist): materializes the set ONCE — the
+    # route decision's count and the anti join both read the
+    # materialized blocks, and the ContextCleaner releases them when
+    # the returned frame is garbage-collected (persist would pin
+    # executor storage with no unpersist path reachable from here).
+    # NOTE this makes the function EAGER: the line-frequency
+    # aggregation runs at call time, not first action.
+    boiler = boiler.localCheckpoint(eager=True)
     n_boiler = boiler.count()
     anti_side = (
         F.broadcast(boiler) if n_boiler <= broadcast_cap_rows else boiler
@@ -804,7 +812,6 @@ def mix_by_temperature(df: DataFrame, target_tokens: int,
 
 
 def substring_dup_stats(df: DataFrame, window_tokens: int = 50,
-                        max_window_df: int = 1000,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
     """MassiveText/RefinedWeb-style EXACT-SUBSTRING duplication signal:
@@ -819,11 +826,11 @@ def substring_dup_stats(df: DataFrame, window_tokens: int = 50,
 
     Plan shape: rolling windows are generated inside codegen
     (transform over a token-index sequence — narrow), hashed to md5;
-    ONE aggregation computes each window hash's distinct-doc count;
-    windows above `max_window_df` distinct docs are treated as shared
-    without enumeration (the boilerplate head of the distribution —
-    the same cap discipline as the dedup family, here it only
-    SATURATES the count, which is already past the threshold); the
+    ONE aggregation computes each window hash's distinct-doc count
+    (Spark plans countDistinct as a two-phase partial-agg keyed by
+    (hash, id) first, so a boilerplate window shared by 10^6 docs
+    never funnels its rows through one reducer — the skew-safety a
+    naive collect-the-ids plan would need an explicit cap for); the
     per-doc rollup joins window rows to the (hash -> n_docs) frame.
     Two shuffles total (window-hash agg, per-doc agg); never a pair
     join, never n^2."""

@@ -46,8 +46,7 @@ from ..operators.extraction import with_extracted_text
 from ..operators.observations import build_observations
 from ..operators.rankings import compute_rankings
 from ..emit.triples import (
-    benchmark_triples, company_triples, entity_dim_triples,
-    instance_dim_triples, observation_triples, ranking_triples,
+    company_triples, global_family_triples, observation_triples,
 )
 from .web_pipeline import (
     assemble_facts, parse_company_profiles, parse_fact_records,
@@ -94,7 +93,17 @@ def run_incremental(
     """Process `pages` against the stores under `store_dir`; first run
     is a cold build, later runs recompute only companies whose input
     content changed. Returns the final tables plus a `metrics` dict
-    recording exactly how much work the run did."""
+    recording exactly how much work the run did.
+
+    URL-immutability contract: the url is the capture identity —
+    within a run duplicate urls collapse earliest-wins (url_dedup's
+    contract), and across runs a url already in the extraction store
+    is never re-read, so a RE-CRAWL that changes content at the SAME
+    url is ignored by design. Common-Crawl-style inputs satisfy this
+    (a recrawl is a new capture with a new warc_ts and is deduped
+    upstream); a true revision workflow would key the stores by
+    (url, content hash) and add a latest-wins policy — out of scope
+    here and called out so nobody assumes otherwise."""
     from .lineage import company_manifest, dirty_companies
 
     store = pathlib.Path(store_dir)
@@ -129,14 +138,24 @@ def run_incremental(
     new_ext = with_extracted_text(new_pages).select("url", "text") \
         .localCheckpoint(eager=True)
     metrics["new_pages"] = new_ext.count()
-    if metrics["new_pages"]:
-        new_ext.write.mode("append").parquet(str(ext_dir))
-    extracted = spark.read.parquet(str(ext_dir))
 
-    # -- 2. url-grain fact-record store -----------------------------
+    # -- 2. url-grain fact-record store (written FIRST) -------------
+    # crash-ordering contract: the extraction store is the replay
+    # guard (step 1's anti-join), so it must be appended LAST. A crash
+    # after the records append but before the extraction append leaves
+    # the urls un-guarded; the replayed batch re-extracts and
+    # re-appends their records, and assemble_facts' full-record
+    # dropDuplicates collapses the doubles — idempotent. The reverse
+    # order would silently LOSE the records forever (the replay would
+    # anti-join the urls away before ever parsing them).
     if metrics["new_pages"]:
         parse_fact_records(new_ext).write.mode("append") \
             .parquet(str(rec_dir))
+        new_ext.write.mode("append").parquet(str(ext_dir))
+    extracted = (
+        spark.read.parquet(str(ext_dir)) if _exists(ext_dir)
+        else new_ext.limit(0)
+    )
     records = (
         spark.read.parquet(str(rec_dir)) if _exists(rec_dir)
         else parse_fact_records(new_ext).limit(0)
@@ -154,6 +173,9 @@ def run_incremental(
     metrics["n_dirty"] = dirty.count()
 
     # -- 4. patch observations for dirty ciks only ------------------
+    dirty_buckets = dirty.select(
+        cik_bucket_col(F.col("cik"), n_cik_buckets).alias("cik_bucket")
+    ).distinct().localCheckpoint(eager=True)
     if metrics["n_dirty"]:
         facts_d = facts.join(dirty, "cik", "semi")
         companies_d = companies.join(dirty, "cik", "semi") \
@@ -165,9 +187,6 @@ def run_incremental(
         bucketed = obs_dirty.withColumn(
             "cik_bucket", cik_bucket_col(F.col("cik"), n_cik_buckets)
         )
-        dirty_buckets = dirty.select(
-            cik_bucket_col(F.col("cik"), n_cik_buckets).alias("cik_bucket")
-        ).distinct()
         metrics["obs_buckets_rewritten"] = dirty_buckets.count()
         if _exists(obs_dir):
             kept = (
@@ -187,6 +206,23 @@ def run_incremental(
         metrics["obs_buckets_rewritten"] = 0
         companies_d = companies.limit(0)
         obs_dirty = None
+    if not _exists(obs_dir):
+        # degenerate cold run (no parseable companies/facts at all):
+        # nothing was written; return a consistent empty world instead
+        # of crashing on a missing store (a streaming batch of pure
+        # noise pages hits this)
+        empty_obs = build_observations(
+            facts.limit(0), companies.limit(0), fy, **pipeline_kw
+        ).limit(0)
+        return {
+            "observations": empty_obs,
+            "benchmarks": compute_benchmarks(empty_obs, fy),
+            "rankings": compute_rankings(empty_obs, fy),
+            "companies": companies,
+            "facts": facts,
+            "triples": None,
+            "metrics": metrics,
+        }
     # restore the canonical (cik, emission-index) order the partitioned
     # read-back loses — the Turtle writer renders families in arrival
     # order, and the byte-parity contract (incremental store -> TTL ==
@@ -211,9 +247,6 @@ def run_incremental(
             observation_triples(obs_dirty)
         ).withColumn("family", F.lit("percik")) \
          .withColumn("cik_bucket", cik_bucket_col(subj_cik, n_cik_buckets))
-        dirty_buckets = dirty.select(
-            cik_bucket_col(F.col("cik"), n_cik_buckets).alias("cik_bucket")
-        ).distinct()
         if _exists(tri_dir):
             kept_t = (
                 spark.read.parquet(str(tri_dir))
@@ -232,24 +265,15 @@ def run_incremental(
         percik_out = None
 
     if metrics["n_dirty"]:
-        def _has_all_market(df: DataFrame) -> bool:
-            flag = df.agg(F.max(
-                F.when(
-                    (F.col("industry") == "") & (F.col("sector") == ""), 1
-                ).otherwise(0)
-            )).first()[0]
-            return flag == 1
-
-        needs_all = _has_all_market(benchmarks) or _has_all_market(rankings)
-        dims = entity_dim_triples(companies, needs_all).unionByName(
-            instance_dim_triples(observations)
-        ).dropDuplicates(["subj", "pred", "obj"])
+        # the bounded global families come from the ONE shared
+        # definition build_triples uses (emit/triples.py) — the
+        # SectorAll/dim rules cannot diverge between the batch builder
+        # and this patcher
         global_out = (
-            dims
-            .unionByName(
-                benchmark_triples(benchmarks, include_industry_scope))
-            .unionByName(ranking_triples(
-                rankings, include_industry_scope, include_sector_scope))
+            global_family_triples(
+                observations, companies, benchmarks, rankings,
+                include_industry_scope, include_sector_scope,
+            )
             .withColumn("family", F.lit("global"))
             .withColumn("cik_bucket", F.lit(-1).cast("int"))
         )

@@ -207,15 +207,23 @@ def _bucketed_mention_triples(extracted: DataFrame) -> DataFrame:
         concept_lexicon_terms, detect_mentions, mention_triple_columns,
     )
 
-    triples = mention_triple_columns(
-        detect_mentions(extracted, concept_lexicon_terms())
+    # dedup BEFORE detection: a crawl slice can carry the same url more
+    # than once (url_dedup exists for exactly that). Deduping only the
+    # join side would stop the quadratic fan-out but still emit each
+    # duplicate page's mentions once per copy AND run the detector per
+    # copy — deduping the input makes the per-bucket triple counts the
+    # lineage metrics record exact and halves the detection work.
+    # Deterministic pick: lowest content hash per url (no timestamp at
+    # this stage; duplicate crawl rows are normally content-identical).
+    w = Window.partitionBy("url").orderBy(F.md5(F.col("text")).asc())
+    one_per_url = (
+        extracted.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1).drop("_rn")
     )
-    # dropDuplicates on the join side: a crawl slice can carry the same
-    # url more than once (url_dedup exists for exactly that), and a
-    # duplicated (url, bucket) row would fan the join out quadratically,
-    # inflating the per-bucket triple counts the lineage metrics record
+    triples = mention_triple_columns(
+        detect_mentions(one_per_url, concept_lexicon_terms())
+    )
     return triples.join(
-        extracted.select(F.col("url").alias("page_url"), "bucket")
-        .dropDuplicates(["page_url"]),
+        one_per_url.select(F.col("url").alias("page_url"), "bucket"),
         "page_url",
     ).select("bucket", "subj", "pred", "obj", "begin")

@@ -730,10 +730,22 @@ def _sql_ivf_multiprobe(k: int = 8, iters: int = 2, dim: int = 64,
     parts = [
         "WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) "
         "AS v FROM embeddings)",
-        f"smp AS (SELECT id, v FROM base "
+        # mirror kmeans_fit's input guards: null/empty vectors never
+        # reach the sample, and the fit is restricted to the seed
+        # sample's dimensionality (ragged rows excluded). MATERIALIZED
+        # is load-bearing: without it DuckDB inlines this CTE chain
+        # into the seed CTEs' scalar subqueries and the expansion
+        # never finishes (observed hang; 4 s materialized)
+        "basef AS MATERIALIZED (SELECT * FROM base "
+        "WHERE v IS NOT NULL AND len(v) > 0)",
+        f"smp AS MATERIALIZED (SELECT id, v FROM basef "
         f"ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {seed_sample})",
-        "seed0 AS (SELECT v FROM smp "
+        "seed0 AS MATERIALIZED (SELECT v FROM smp "
         "ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 1)",
+        "smpf AS MATERIALIZED (SELECT s.* FROM smp s "
+        "WHERE len(s.v) = (SELECT len(v) FROM seed0))",
+        "fitb AS MATERIALIZED (SELECT b.* FROM basef b "
+        "WHERE len(b.v) = (SELECT len(v) FROM seed0))",
     ]
     # farthest-first traversal over the bounded seed sample, one CTE
     # per seed: maximize the min distance to every previously chosen
@@ -749,7 +761,7 @@ def _sql_ivf_multiprobe(k: int = 8, iters: int = 2, dim: int = 64,
         mind = f"least({prev_d2})" if j > 1 else prev_d2
         # tie-break = lowest SAMPLE POSITION, which is hash order now
         parts.append(
-            f"seed{j} AS (SELECT b.v FROM smp b, {prev_from} "
+            f"seed{j} AS (SELECT b.v FROM smpf b, {prev_from} "
             f"ORDER BY {mind} DESC, md5(CAST(b.id AS VARCHAR)) ASC, "
             f"b.id ASC LIMIT 1)"
         )
@@ -765,7 +777,7 @@ def _sql_ivf_multiprobe(k: int = 8, iters: int = 2, dim: int = 64,
     SELECT b.id, b.v, c.cell,
            row_number() OVER (PARTITION BY b.id
                               ORDER BY {assign_d2} ASC, c.cell ASC) AS rn
-    FROM base b, {prev} c) x WHERE rn = 1)""")
+    FROM fitb b, {prev} c) x WHERE rn = 1)""")
         parts.append(f"""s{it} AS (
   SELECT a.cell, t.i, sum(CAST(a.v[t.i] AS DECIMAL(38,15))) AS s,
          count(*) AS n
@@ -1347,7 +1359,11 @@ FROM j ORDER BY id
 """
 
 
-SQL_QUALITY_CLF = _sql_quality_classifier()
+# registered as the CALLABLE, resolved by __spark_entry__.oracle_sql()
+# at call time: evaluating here would load the committed .npz at
+# module import, breaking `import queries` in any environment missing
+# the model artifact and taxing every unrelated import
+SQL_QUALITY_CLF = _sql_quality_classifier
 
 
 def q_bm25_topk(spark, sf):

@@ -216,12 +216,11 @@ def test_resumable_web_pipeline_mid_kill_resume(spark, tmp_path):
                .collect()) <= set(range(8))
 
 
-def test_mention_triples_linear_under_duplicate_urls(spark):
-    """A crawl slice can carry the same url twice; the bucket join
-    inside _bucketed_mention_triples must not fan each duplicate out
-    quadratically (round-4 advice — lineage triple counts inflated)."""
-    from pyspark.sql import functions as F
-
+def test_mention_triples_exact_under_duplicate_urls(spark):
+    """A crawl slice can carry the same url twice; the per-bucket
+    triple counts lineage records must stay EXACT — duplicate page
+    rows contribute their mentions once, not once per copy (and never
+    quadratically through the bucket join; round-4 advice)."""
     from edgar_finance_ontology_spark.plans.web_pipeline import (
         _bucketed_mention_triples, extracted_text_stage,
     )
@@ -235,8 +234,7 @@ def test_mention_triples_linear_under_duplicate_urls(spark):
         extracted.unionByName(extracted)
     ).count()
     assert base > 0
-    # each page's mentions appear once per PAGE ROW (2x), never 4x
-    assert doubled == 2 * base
+    assert doubled == base
 
 
 def test_stage_table_bucket_pruning(spark, tmp_path):
