@@ -209,9 +209,16 @@ def ann_ivf_multiprobe(
     is the cell id, so the plan stays a broadcast/co-partitioned equi
     join with fan-out nprobe per query, never a cross join."""
     kc = len(centroids)
+    dim = len(centroids[0])
+    # null/ragged vectors are excluded from BOTH sides (same guard the
+    # fit applies): engines disagree on arithmetic over padded zips
+    # (Spark's aggregate nulls out, DuckDB's list_sum skips nulls), so
+    # the only portable semantics is an explicit filter
     e = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("ev"),
+    ).where(
+        F.col("ev").isNotNull() & (F.size("ev") == dim)
     ).withColumn("cell", cell_assign_col(F.col("ev"), centroids))
     qv = F.col("qv")
     dists = F.array(*[_dist2_to(qv, c) for c in centroids])
@@ -228,6 +235,8 @@ def ann_ivf_multiprobe(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
+    ).where(
+        F.col("qv").isNotNull() & (F.size("qv") == dim)
     ).withColumn("cell", F.explode(F.slice(ranked, 1, nprobe)))
     j = e.join(F.broadcast(q), "cell").where(
         F.col("neighbor_id") != F.col("query_id")

@@ -793,18 +793,25 @@ def _sql_ivf_multiprobe(k: int = 8, iters: int = 2, dim: int = 64,
     parts.append(
         f"qsel AS (SELECT id, v FROM base ORDER BY id LIMIT {nq})"
     )
+    # the search guards mirror the Spark operator: null/ragged vectors
+    # are excluded from both the query and corpus sides (qsel still
+    # picks the nq lowest ids of the RAW table, matching the caller's
+    # query selection; invalid ones then drop out)
     parts.append(f"""probe AS (
   SELECT id AS query_id, v AS qv, cell FROM (
     SELECT q.id, q.v, c.cell,
            row_number() OVER (PARTITION BY q.id
                               ORDER BY {probe_d2} ASC, c.cell ASC) AS rn
-    FROM qsel q, {fin} c) x WHERE rn <= {nprobe})""")
+    FROM qsel q, {fin} c
+    WHERE q.v IS NOT NULL
+      AND len(q.v) = (SELECT len(v) FROM seed0)) x
+  WHERE rn <= {nprobe})""")
     parts.append(f"""asg AS (
   SELECT id, v, cell FROM (
     SELECT b.id, b.v, c.cell,
            row_number() OVER (PARTITION BY b.id
                               ORDER BY {final_d2} ASC, c.cell ASC) AS rn
-    FROM base b, {fin} c) x WHERE rn = 1)""")
+    FROM fitb b, {fin} c) x WHERE rn = 1)""")
     return ",\n".join(parts) + f"""
 SELECT query_id, rank, neighbor_id, cell, round(cos, 6) AS cos FROM (
   SELECT p.query_id, a.id AS neighbor_id, a.cell,

@@ -151,3 +151,41 @@ def test_ivf_index_lifecycle(spark, tmp_path):
     assert got2 and got2[0]["query_id"] == 999_999
     # its nearest neighbor comes from cell 0
     assert got2[0]["cell"] == 0
+
+
+def test_ivf_twin_parity_on_dirty_embeddings(spark, tmp_path):
+    """Engine-parity of the kmeans guards themselves: an embeddings
+    table carrying NULL, empty, and ragged vectors must produce the
+    IDENTICAL multiprobe result in Spark and in the DuckDB twin (the
+    twin's basef/smpf/fitb filters mirror kmeans_fit's)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import duckdb
+    import random
+
+    from oracle_harness import compare
+    from edgar_finance_ontology_spark.queries import QUERIES
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(120):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)], i % 10))
+    rows.append((500, None, 0))                      # null vector
+    rows.append((501, [], 1))                        # empty vector
+    rows.append((502, [1.0, 2.0, 3.0], 2))           # ragged vector
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(sf + "/embeddings.parquet")
+
+    con = duckdb.connect()
+    # Spark writes a directory; the real testdata are single files —
+    # glob the part files for the oracle
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    fn, sql = QUERIES["ann_ivf_multiprobe"]
+    r = compare(fn(spark, sf), con, sql)
+    assert r["match"], r
