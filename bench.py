@@ -293,6 +293,69 @@ def _kg_panel(spark, n_companies: int) -> dict:
     }
 
 
+def bench_incremental(spark) -> dict:
+    """Maintenance-mode economics at the 240-company panel: wall of
+    the COLD store build vs the PATCH run after ONE late page (the
+    rolling-crawl normal mode). The patch must re-derive exactly one
+    company (asserted) — its wall is the incremental pipeline's fixed
+    cost, and the ratio is the case for maintenance mode at 10^12
+    pages."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from edgar_finance_ontology_spark.plans.incremental import (
+        run_incremental,
+    )
+    from edgar_finance_ontology_spark.sources.pages import (
+        _page_html, fact_sentence, synthesize_pages,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="efin-incbench-")
+    try:
+        pages = synthesize_pages(
+            spark, skew_copies=8, n_buckets=32,
+            n_companies=int(os.environ.get("EFIN_BENCH_COMPANIES", "240")),
+        ).cache()
+        pages.count()
+        t0 = time.monotonic()
+        cold = run_incremental(spark, pages, 2024, tmp + "/store")
+        cold_wall = time.monotonic() - t0
+        row = (
+            cold["observations"]
+            .where((F.col("metric") == "Revenue") & (~F.col("is_derived")))
+            .orderBy(F.col("cik").desc()).first()
+        )
+        sent = fact_sentence(row["cik"], row["selected_tag"], row["unit"], {
+            "val": float(row["value"]) - 54321.0, "end": row["end"],
+            "fy": int(row["fy"]), "fp": "FY", "form": row["form"],
+            "accn": row["accn"], "qtrs": 4, "segment": None,
+        })
+        late = spark.createDataFrame(
+            [(f"https://filings.example.com/{row['cik']}/late-bench.html",
+              dt.datetime(2025, 3, 1),
+              _page_html("late amendment", [sent]).encode(), None, "en")],
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string",
+        )
+        t1 = time.monotonic()
+        patch = run_incremental(
+            spark, pages.unionByName(late, allowMissingColumns=True),
+            2024, tmp + "/store")
+        patch_wall = time.monotonic() - t1
+        assert patch["metrics"]["n_dirty"] == 1, patch["metrics"]
+        return {
+            "n_companies": cold["metrics"]["n_companies"],
+            "cold_sec": round(cold_wall, 3),
+            "patch_sec": round(patch_wall, 3),
+            "patch_speedup": round(cold_wall / patch_wall, 2),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_scaling(copies: int = 1024) -> dict:
     """Same page-stage job at each thread level over an identical
     disk-backed (parquet) page table — the realistic scan path.
@@ -399,6 +462,8 @@ def compact_record(out: dict) -> dict:
             "triples_per_sec": kg.get("triples_per_sec"),
             "kg_10x_tps": kg.get("kg_10x", {}).get("triples_per_sec"),
             "cq_wall_sec": cq.get("wall_sec"),
+            "late_page_patch_sec":
+                kg.get("incremental", {}).get("patch_sec"),
         },
         "scaling": {
             "n_to_4n_efficiency":
@@ -429,6 +494,11 @@ def main():
     spark = _session(CPUS, "efin-bench-kg")
     kg = bench_kg(spark)
     spark.stop()
+    spark = _session(CPUS, "efin-bench-incremental")
+    try:
+        kg["incremental"] = bench_incremental(spark)
+    finally:
+        spark.stop()
     scaling = bench_scaling() if run_scaling else {}
     total = round(sum(queries.values()) + kg["wall_sec"], 3)
     out = {
