@@ -36,6 +36,14 @@ def main():
         help="per-bucket lineage directory: a killed run restarted with "
              "the same dir reprocesses only unfinished buckets",
     )
+    ap.add_argument(
+        "--incremental-store", default=None,
+        help="company-grain store directory (plans/incremental.py): "
+             "maintenance mode — only companies whose page content "
+             "changed since the stored generation are re-derived; the "
+             "triples table and Turtle render from the patched store "
+             "(byte-identical to a full rebuild)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -69,7 +77,21 @@ def main():
         pages = spark.read.parquet(args.pages_dir)
     else:
         pages = synthesize_pages(spark, n_companies=args.n_companies)
-    if args.resume_dir:
+    if args.incremental_store:
+        from edgar_finance_ontology_spark.plans.incremental import (
+            run_incremental,
+        )
+
+        t = run_incremental(
+            spark, pages, args.fy, args.incremental_store,
+            include_industry_scope=args.include_industry_scope,
+            include_sector_scope=args.include_sector_scope,
+            tol_days=args.fy_tol_days, prefer_unit=args.prefer_unit,
+        )
+        companies = t["companies"]
+        print(f"# incremental: {json.dumps(t['metrics'])}")
+        trip = t["triples"]
+    elif args.resume_dir:
         from edgar_finance_ontology_spark.plans.web_pipeline import (
             run_web_pipeline_resumable,
         )
@@ -86,12 +108,13 @@ def main():
             facts, companies, fy=args.fy, tol_days=args.fy_tol_days,
             prefer_unit=args.prefer_unit,
         )
-    trip = build_triples(
-        t["observations"], companies, t["benchmarks"], t["rankings"],
-        fy=args.fy,
-        include_industry_scope=args.include_industry_scope,
-        include_sector_scope=args.include_sector_scope,
-    )
+    if not args.incremental_store:
+        trip = build_triples(
+            t["observations"], companies, t["benchmarks"], t["rankings"],
+            fy=args.fy,
+            include_industry_scope=args.include_industry_scope,
+            include_sector_scope=args.include_sector_scope,
+        )
     # predicate-partitioned triple table (the classic vertical
     # partitioning for RDF on columnar storage — one partition per
     # bounded-vocabulary predicate, so pred-filtered scans prune whole

@@ -78,3 +78,34 @@ def test_concat_to_file_matches_in_memory(tmp_path):
     dest = tmp_path / "doc.ttl"
     concat_turtle_parts_to_file(str(d), str(dest))
     assert dest.read_text() == concat_turtle_parts(str(d))
+
+
+def test_run_kg_incremental_store_mode(tmp_path):
+    """Deploy-path maintenance mode: --incremental-store produces a
+    byte-identical instances.ttl to the full-rebuild deploy run, and a
+    SECOND invocation with the same store is a no-op patch (0 dirty
+    companies) that still renders the same document."""
+    env = dict(os.environ, PYTHONPATH=REPO)
+
+    def run(out, extra):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "run_kg.py"),
+             "--fy", "2024", "--out", out, "--n-companies", "12", *extra],
+            capture_output=True, text=True, env=env, timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        return r.stdout
+
+    full_out = str(tmp_path / "full")
+    inc_out = str(tmp_path / "inc")
+    inc2_out = str(tmp_path / "inc2")
+    store = str(tmp_path / "store")
+    run(full_out, [])
+    out1 = run(inc_out, ["--incremental-store", store])
+    assert '"n_dirty": 12' in out1
+    out2 = run(inc2_out, ["--incremental-store", store])
+    assert '"n_dirty": 0' in out2
+
+    want = open(f"{full_out}/instances.ttl", encoding="utf-8").read()
+    assert open(f"{inc_out}/instances.ttl", encoding="utf-8").read() == want
+    assert open(f"{inc2_out}/instances.ttl", encoding="utf-8").read() == want
