@@ -59,7 +59,7 @@ BENCH_QUERIES = [
     "mix_token_budgets", "quality_funnel",
     "pack_token_shards",
     "near_dup_decontaminate", "bm25_topk", "quality_classifier",
-    "temperature_mix", "substring_dup_stats",
+    "temperature_mix", "substring_dup_stats", "trim_dup_spans",
 ]
 
 

@@ -867,3 +867,123 @@ def substring_dup_stats(df: DataFrame, window_tokens: int = 50,
             F.round(F.col("n_dup_windows") / F.col("n_windows"), 6),
         )
     )
+
+
+def trim_dup_spans(df: DataFrame, window_tokens: int = 15,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """The REMOVAL policy on top of substring_dup_stats: delete every
+    token covered by a cross-doc duplicated `window_tokens`-token
+    window from all docs EXCEPT the span's owner (lowest doc id per
+    window — each span survives exactly once in the corpus, the
+    MassiveText exact-substring-dedup rule). Output:
+    (id, clean_text, n_tokens, removed_tokens); clean_text is
+    token-normalized (single spaces — the span cut makes the original
+    whitespace non-reconstructible anyway).
+
+    Plan shape: window hashes + their (distinct-doc count, owner =
+    min id) in ONE aggregation; a doc's removable positions are the
+    union of its non-owned duplicated windows' token ranges (explode
+    to positions, distinct — overlapping windows merge for free); the
+    rebuild anti-joins kept tokens and re-assembles per doc. All
+    shuffles are keyed by window hash or doc id; never a pair join."""
+    from .dedup import tokens_col
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.filter(tokens_col(F.col(text_col)),
+                              lambda t: t != ""))
+        .alias("pos", "token"),
+    )
+    n = window_tokens
+    tarr = F.filter(tokens_col(F.col(text_col)), lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tarr) - n, F.lit(0)))
+    win = F.transform(
+        idx, lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(tarr, i + 1, n))).alias("h"),
+        )
+    )
+    wins = (
+        df.select(F.col(id_col).alias("id"), F.size(tarr).alias("_nt"),
+                  F.explode(win).alias("w"))
+        .where(F.col("_nt") >= n)
+        .select("id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+    stats = wins.groupBy("h").agg(
+        F.countDistinct("id").alias("n_docs"),
+        F.min("id").alias("owner"),
+    ).where(F.col("n_docs") >= 2)
+    removable = (
+        wins.join(stats, "h")
+        .where(F.col("id") != F.col("owner"))
+        .select(
+            "id",
+            F.explode(F.sequence(
+                F.col("pos"), F.col("pos") + F.lit(n - 1)
+            )).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(removable, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("pos").alias("pos"),
+                             F.col("token").alias("token"))
+                )),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("int").alias("kept_tokens"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), F.size(tarr).cast("int").alias("n_tokens")
+    )
+    return base.join(rebuilt, "id", "left").select(
+        "id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("kept_tokens", F.lit(0)))
+        .cast("int").alias("removed_tokens"),
+    )
+
+
+def write_token_shards(df: DataFrame, out_dir: str, shard_tokens: int,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       counter: str = "ws",
+                       merges_path: str | None = None) -> dict:
+    """Materialize the packed training corpus: pack_token_shards
+    assigns shard ids, the docs land as parquet PARTITIONED BY
+    shard_id — one directory per ~shard_tokens-token shard, the layout
+    a trainer's data loader consumes directly (read one shard dir =
+    one training chunk; no scan of the rest). Returns
+    {n_shards, n_docs, total_tokens}.
+
+    The write is repartitioned BY shard_id so each shard directory is
+    produced by the tasks owning that shard's rows — no
+    one-file-per-(task, shard) fragmentation."""
+    packed = pack_token_shards(
+        df, shard_tokens, text_col=text_col, id_col=id_col,
+        counter=counter, merges_path=merges_path,
+    )
+    cols = [c for c in packed.columns]
+    (
+        packed.repartition(F.col("shard_id"))
+        .write.mode("overwrite").partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+    back = packed.sparkSession.read.parquet(out_dir)
+    agg = back.agg(
+        F.countDistinct("shard_id").alias("n_shards"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    ).first()
+    return {
+        "n_shards": int(agg["n_shards"]),
+        "n_docs": int(agg["n_docs"]),
+        "total_tokens": int(agg["total_tokens"] or 0),
+        "columns": cols,
+    }

@@ -1758,6 +1758,58 @@ GROUP BY 1 ORDER BY 1
 SQL_SUBSTRING_DUP = _sql_substring_dup()
 
 
+def q_trim_dup_spans(spark, sf):
+    """Exact-substring REMOVAL (the policy on top of the duplication
+    signal): verbatim 15-token cross-doc spans survive only in their
+    owner doc; per-doc rebuilt text + removal counts."""
+    from .operators.textops import trim_dup_spans
+
+    d = _t(spark, sf, "documents")
+    return trim_dup_spans(d, window_tokens=15).orderBy("id")
+
+
+def _sql_trim_dup_spans(n: int = 15) -> str:
+    terms = ", ".join(f"t[i+{j}]" for j in range(1, n + 1))
+    return f"""
+WITH tl AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(trim(lower(text)), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+toks AS (
+  SELECT id, CAST(i AS INT) AS pos, t[i+1] AS token
+  FROM tl, UNNEST(range(0, len(t))) AS u(i)),
+wins AS (
+  SELECT id, CAST(i AS INT) AS pos, md5(concat_ws(' ', {terms})) AS h
+  FROM tl, UNNEST(range(0, greatest(len(t) - {n}, 0) + 1)) AS u(i)
+  WHERE len(t) >= {n}),
+stats AS (
+  SELECT h, count(DISTINCT id) AS n_docs, min(id) AS owner
+  FROM wins GROUP BY 1 HAVING count(DISTINCT id) >= 2),
+removable AS (
+  SELECT DISTINCT w.id, CAST(p AS INT) AS pos
+  FROM wins w JOIN stats s USING (h),
+       UNNEST(range(w.pos, w.pos + {n})) AS r(p)
+  WHERE w.id <> s.owner),
+kept AS (
+  SELECT k.id, k.pos, k.token FROM toks k
+  LEFT JOIN removable r ON r.id = k.id AND r.pos = k.pos
+  WHERE r.id IS NULL),
+rebuilt AS (
+  SELECT id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS kept_tokens
+  FROM kept GROUP BY 1)
+SELECT tl.id, coalesce(rebuilt.clean_text, '') AS clean_text,
+       CAST(len(tl.t) AS INT) AS n_tokens,
+       CAST(len(tl.t) - coalesce(rebuilt.kept_tokens, 0) AS INT)
+         AS removed_tokens
+FROM tl LEFT JOIN rebuilt USING (id) ORDER BY id
+"""
+
+
+SQL_TRIM_DUP_SPANS = _sql_trim_dup_spans()
+
+
 def q_quality_funnel(spark, sf):
     """Corpus-cleaning funnel report: cumulative per-stage survivor
     counts (ingested -> lang gate -> length gate -> dup-line gate)."""
@@ -1870,6 +1922,7 @@ QUERIES = {
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLF),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "substring_dup_stats": (q_substring_dup, SQL_SUBSTRING_DUP),
+    "trim_dup_spans": (q_trim_dup_spans, SQL_TRIM_DUP_SPANS),
     "pii_scrub_stats": (q_pii_scrub, SQL_PII),
     "pii_card_stats": (q_pii_cards, SQL_PII_CARDS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),

@@ -557,3 +557,82 @@ def test_substring_dup_stats_semantics(spark):
     # windows unique to doc 5 (its self-repeated tail region) are NOT
     # dup-counted by the within-doc repeat alone
     assert got[5]["n_dup_windows"] < got[5]["n_windows"]
+
+
+def test_trim_dup_spans_semantics(spark):
+    """The owner (lowest id sharing the span) keeps its text; every
+    other doc loses exactly the covered tokens; overlapping windows
+    merge; untouched docs round-trip token-normalized."""
+    from edgar_finance_ontology_spark.operators.textops import (
+        trim_dup_spans,
+    )
+
+    span = " ".join(f"w{i}" for i in range(15))
+    rows = [
+        (1, "intro " + span + " outro"),         # owner (lowest id)
+        (2, "lead " + span + " tail words"),     # loses the span
+        (3, span),                               # loses everything
+        (4, "no duplication in this document at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in trim_dup_spans(
+        df, window_tokens=15).collect()}
+    assert got[1]["clean_text"] == "intro " + span + " outro"
+    assert got[1]["removed_tokens"] == 0
+    assert got[2]["clean_text"] == "lead tail words"
+    assert got[2]["removed_tokens"] == 15
+    assert got[3]["clean_text"] == "" and got[3]["removed_tokens"] == 15
+    assert got[4]["clean_text"] == rows[3][1]
+    # overlapping duplicated windows: doc 5 shares a 16-token run with
+    # the owner -> TWO overlapping windows whose union is 16 tokens
+    ext = span + " w15"
+    df2 = spark.createDataFrame(
+        rows + [(5, "x " + ext + " y")], "doc_id long, text string")
+    got2 = {r["id"]: r for r in trim_dup_spans(
+        df2, window_tokens=15).collect()}
+    # doc 5's w0..w15 tokens are covered (owner of 'span' windows is
+    # still doc 1; the ext window's owner is doc 5 itself unless
+    # another doc carries it)
+    assert got2[5]["removed_tokens"] == 15  # the 15 owned-by-1 tokens
+    assert got2[5]["clean_text"] == "x w15 y"
+
+
+def test_write_token_shards_layout(spark, tmp_path):
+    """The packed corpus lands one parquet directory per shard; a
+    shard-id filter prunes partitions; read-back content equals the
+    lazy packing; shard token totals respect the budget shape."""
+    from edgar_finance_ontology_spark.operators.textops import (
+        pack_token_shards, write_token_shards,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "shards")
+    meta = write_token_shards(d, out, shard_tokens=5000)
+    assert meta["n_docs"] == d.count()
+    assert meta["n_shards"] >= 2
+
+    import os
+
+    dirs = [x for x in os.listdir(out) if x.startswith("shard_id=")]
+    assert len(dirs) == meta["n_shards"]
+
+    back = spark.read.parquet(out)
+    want = {(r["id"], r["shard_id"]) for r in
+            pack_token_shards(d, 5000).select("id", "shard_id").collect()}
+    got = {(r["id"], r["shard_id"]) for r in
+           back.select("id", "shard_id").collect()}
+    assert got == want
+
+    # partition pruning on the shard filter
+    q = back.where(F.col("shard_id") == 0)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard_id" in plan
+    # greedy packing: every non-last shard fills to within one document
+    # of the budget (the documented off-by-one-document trade)
+    max_doc = back.agg(F.max("n_tokens")).first()[0]
+    totals = sorted(
+        (r["shard_id"], r["t"]) for r in
+        back.groupBy("shard_id").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    for sid, t in totals[:-1]:
+        assert t >= 5000 - max_doc, (sid, t, max_doc)
