@@ -148,28 +148,61 @@ def run_incremental(
     # dropDuplicates collapses the doubles — idempotent. The reverse
     # order would silently LOSE the records forever (the replay would
     # anti-join the urls away before ever parsing them).
+    new_recs = parse_fact_records(new_ext).withColumn(
+        "cik_bucket", cik_bucket_col(F.col("cik"), n_cik_buckets)
+    ).localCheckpoint(eager=True)
     if metrics["new_pages"]:
-        parse_fact_records(new_ext).write.mode("append") \
+        new_recs.write.mode("append").partitionBy("cik_bucket") \
             .parquet(str(rec_dir))
         new_ext.write.mode("append").parquet(str(ext_dir))
     extracted = (
         spark.read.parquet(str(ext_dir)) if _exists(ext_dir)
         else new_ext.limit(0)
     )
-    records = (
-        spark.read.parquet(str(rec_dir)) if _exists(rec_dir)
-        else parse_fact_records(new_ext).limit(0)
-    )
-    facts = assemble_facts(records).localCheckpoint(eager=True)
     companies = parse_company_profiles(extracted).localCheckpoint(eager=True)
 
-    # -- 3. manifest diff -> dirty ciks -----------------------------
-    m_old = (
-        spark.read.parquet(str(man_dir)) if _exists(man_dir) else None
+    # -- 3. manifest diff -> dirty ciks (candidate-pruned) ----------
+    # only companies touched by NEW records or NEW profile lines can
+    # have changed; the records and manifest stores are partitioned by
+    # cik bucket, so a patch run reads ONLY the candidate buckets —
+    # the manifest pass costs O(candidates' fact sets), not a full
+    # records-store scan per run (the 10^12-page patch-cost driver)
+    candidates = (
+        new_recs.select("cik")
+        .unionByName(parse_company_profiles(new_ext).select("cik"))
+        .distinct().localCheckpoint(eager=True)
     )
-    m_new = company_manifest(facts, companies).localCheckpoint(eager=True)
-    dirty = dirty_companies(m_new, m_old).localCheckpoint(eager=True)
-    metrics["n_companies"] = m_new.count()
+    cand_buckets = sorted({
+        r["b"] for r in candidates.select(
+            cik_bucket_col(F.col("cik"), n_cik_buckets).alias("b")
+        ).distinct().collect()
+    })
+    if _exists(rec_dir) and cand_buckets:
+        recs_cand = (
+            spark.read.parquet(str(rec_dir))
+            .where(F.col("cik_bucket").isin(cand_buckets))
+            .drop("cik_bucket")
+            .join(candidates, "cik", "semi")
+        )
+    else:
+        recs_cand = new_recs.drop("cik_bucket").limit(0)
+    # candidate-scope facts: complete fact sets for every candidate
+    # company (old + new records of its buckets), nothing else
+    facts = assemble_facts(recs_cand).localCheckpoint(eager=True)
+    companies_cand = companies.join(candidates, "cik", "semi")
+    m_cand = company_manifest(facts, companies_cand) \
+        .localCheckpoint(eager=True)
+    if _exists(man_dir):
+        m_old_cand = (
+            spark.read.parquet(str(man_dir))
+            .where(F.col("cik_bucket").isin(cand_buckets))
+            .drop("cik_bucket")
+        )
+        dirty = dirty_companies(m_cand, m_old_cand)
+    else:
+        dirty = m_cand.select("cik")
+    dirty = dirty.localCheckpoint(eager=True)
+    metrics["n_candidates"] = candidates.count()
     metrics["n_dirty"] = dirty.count()
 
     # -- 4. patch observations for dirty ciks only ------------------
@@ -214,6 +247,10 @@ def run_incremental(
         empty_obs = build_observations(
             facts.limit(0), companies.limit(0), fy, **pipeline_kw
         ).limit(0)
+        metrics["n_companies"] = (
+            spark.read.parquet(str(man_dir)).count()
+            if _exists(man_dir) else metrics["n_candidates"]
+        )
         return {
             "observations": empty_obs,
             "benchmarks": compute_benchmarks(empty_obs, fy),
@@ -284,13 +321,31 @@ def run_incremental(
         with _DynamicOverwrite(spark):
             to_write.write.mode("overwrite") \
                 .partitionBy("family", "cik_bucket").parquet(str(tri_dir))
-        # -- 7. commit the new manifest generation ------------------
-        m_new.write.mode("overwrite").parquet(str(man_dir))
+        # -- 7. commit the manifest: patch only candidate buckets ----
+        m_out = m_cand.withColumn(
+            "cik_bucket", cik_bucket_col(F.col("cik"), n_cik_buckets)
+        )
+        if _exists(man_dir):
+            m_keep = (
+                spark.read.parquet(str(man_dir))
+                .where(F.col("cik_bucket").isin(cand_buckets))
+                .join(candidates, "cik", "left_anti")
+                .select(*m_out.columns)
+            )
+            m_out = m_keep.unionByName(m_out)
+        with _DynamicOverwrite(spark):
+            m_out.write.mode("overwrite").partitionBy("cik_bucket") \
+                .parquet(str(man_dir))
     # n_dirty == 0: every store (triples, manifest) is already current
     # — a clean re-run rewrites NOTHING (asserted via file mtimes in
     # tests/test_incremental.py)
     triples = spark.read.parquet(str(tri_dir)) \
         .drop("family", "cik_bucket")
+    # parquet count() answers from footer metadata — no data scan
+    metrics["n_companies"] = (
+        spark.read.parquet(str(man_dir)).count()
+        if _exists(man_dir) else metrics["n_candidates"]
+    )
 
     return {
         "observations": observations,

@@ -135,6 +135,7 @@ def test_late_page_rederives_exactly_one_company(spark, inc_world):
         cik_bucket_col(F.lit(cik10), 64).alias("b")).first()["b"]
     obs_before = _store_snapshot(store, "observations")
     tri_before = _store_snapshot(store, "triples")
+    man_before = _store_snapshot(store, "manifest")
 
     late_pages = pages.unionByName(late)
     inc2 = run_incremental(spark, late_pages, 2024, store)
@@ -161,6 +162,12 @@ def test_late_page_rederives_exactly_one_company(spark, inc_world):
         )
         if untouched:
             assert tri_after.get(rel) == mt, rel
+    # the manifest is bucket-partitioned too: only the candidate's
+    # bucket is rewritten
+    man_after = _store_snapshot(store, "manifest")
+    for rel, mt in man_before.items():
+        if f"cik_bucket={dirty_bucket}/" not in rel:
+            assert man_after.get(rel) == mt, rel
 
     # and the patched world equals a from-scratch run on the full input
     scratch = _scratch(spark, late_pages)
