@@ -151,20 +151,70 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float,
     computed over the FULL shingle sets, so surviving pairs carry exact
     values; only pairs whose every shared shingle is ultra-common can
     be missed (those have near-zero Jaccard against any cap ≥ 1/θ
-    posting sizes in practice)."""
+    posting sizes in practice).
+
+    Plan shape (candidate-count pruning): the self-join that generates
+    candidates aggregates straight to a per-pair shared-capped-shingle
+    count `ic` (no intermediate pair-distinct), and per-doc sizes carry
+    both the full shingle count `n` and the over-cap ("common") count
+    `c`. Since inter_full = ic + inter_common and inter_common <=
+    min(c_a, c_b), the bound
+
+        jaccard <= (ic + m) / (n_a + n_b - ic - m),  m = min(c_a, c_b)
+
+    is exact, so pairs below it are dropped BEFORE any full-set join.
+    At a 0.12 threshold on ~50-shingle docs this eliminates the ~90%
+    of candidates that share only 1-2 shingles; only survivors pay the
+    common-shingle correction join (bounded by per-doc common counts,
+    which the df-cap keeps tiny). Results are bit-identical to the
+    naive candidates->full-verify form (equality test in
+    tests/test_dedup_scale.py::test_ngram_count_pruning_matches_naive)."""
+    if max_df is None:
+        # no cap: every shingle is a candidate shingle and the per-pair
+        # count is already the full intersection.
+        max_df = 2**62
     sh = word_shingles(df, text_col, shingle_n, id_col)
-    cand_sh = sh
-    if max_df is not None:
-        rare = sh.groupBy("shingle").agg(F.count("*").alias("_df")) \
-                 .where(F.col("_df") <= max_df)
-        cand_sh = sh.join(rare.select("shingle"), "shingle", "left_semi")
-    pairs = (
-        cand_sh.alias("a").join(cand_sh.alias("b"), "shingle")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    w = Window.partitionBy("shingle")
+    sh_df = sh.withColumn("_df", F.count("*").over(w))
+    sizes = (
+        sh_df.groupBy("id")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.when(F.col("_df") > max_df, 1).otherwise(0))
+              .alias("c"))
     )
-    j = jaccard_on_pairs(pairs, sh)
+    cand = sh_df.where(F.col("_df") <= max_df).select("id", "shingle")
+    pairs = (
+        cand.alias("a").join(cand.alias("b"), "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("ic"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"),
+                      F.col("c").alias("c_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"),
+                      F.col("c").alias("c_b"))
+    m = F.least(F.col("c_a"), F.col("c_b"))
+    ub_num = F.col("ic") + m
+    survivors = (
+        pairs.join(na, "id_a").join(nb, "id_b")
+        .where(ub_num >= threshold * (F.col("n_a") + F.col("n_b") - ub_num))
+    )
+    common = sh_df.where(F.col("_df") > max_df).select("id", "shingle")
+    com_a = common.select(F.col("id").alias("id_a"), "shingle")
+    com_b = common.select(F.col("id").alias("id_b"), "shingle")
+    inter_common = (
+        survivors.select("id_a", "id_b").join(com_a, "id_a")
+        .join(com_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("icc"))
+    )
+    inter = F.col("ic") + F.coalesce(F.col("icc"), F.lit(0))
+    j = (
+        survivors.join(inter_common, ["id_a", "id_b"], "left")
+        .withColumn(
+            "jaccard",
+            inter / (F.col("n_a") + F.col("n_b") - inter),
+        )
+    )
     return j.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )

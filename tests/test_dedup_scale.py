@@ -155,3 +155,41 @@ def test_simhash_band_bit_ranges_partition_all_64_bits():
         for _, lo, w in ranges:
             covered.extend(range(lo, lo + w))
         assert covered == list(range(1, 65)), bands
+
+
+def test_ngram_count_pruning_matches_naive(boiler_docs):
+    """The candidate-count upper-bound prune (round-5 rewrite) must be
+    invisible in results: same pairs, same exact jaccard values as the
+    naive candidates->full-set-verify form, including when a low
+    max_df forces the common-shingle correction join to carry real
+    intersection mass."""
+    from edgar_finance_ontology_spark.operators.dedup import (
+        jaccard_on_pairs, ngram_jaccard_pairs, word_shingles,
+    )
+
+    def naive(df, threshold, max_df):
+        sh = word_shingles(df, "text", 3, "doc_id")
+        cand_sh = sh
+        if max_df is not None:
+            rare = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+                    .where(F.col("_df") <= max_df))
+            cand_sh = sh.join(rare.select("shingle"), "shingle", "left_semi")
+        pairs = (cand_sh.alias("a").join(cand_sh.alias("b"), "shingle")
+                 .where(F.col("a.id") < F.col("b.id"))
+                 .select(F.col("a.id").alias("id_a"),
+                         F.col("b.id").alias("id_b")).distinct())
+        j = jaccard_on_pairs(pairs, sh)
+        return j.where(F.col("jaccard") >= threshold).select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+    # max_df=2: most shared shingles land on the common (df>cap) side,
+    # so survivors' jaccard mass flows through the correction join.
+    # max_df=None: pure per-pair-count path, no common side at all.
+    for cap in (2, 50, None):
+        a = sorted(map(tuple, naive(boiler_docs, 0.3, cap).collect()))
+        b = sorted(map(tuple,
+                       ngram_jaccard_pairs(boiler_docs, 0.3,
+                                           max_df=cap).collect()))
+        assert a == b, f"max_df={cap}"
+        if cap == 2:
+            assert a, "fixture must produce pairs through the correction path"
