@@ -351,6 +351,11 @@ def bench_incremental(spark) -> dict:
             "cold_sec": round(cold_wall, 3),
             "patch_sec": round(patch_wall, 3),
             "patch_speedup": round(cold_wall / patch_wall, 2),
+            # where the patch wall goes (run_incremental's own stage
+            # clocks): front-end stages must be near-zero on a patch;
+            # the floor is the bounded-aggregate + dirty-company
+            # recompute, which is corpus-size-independent
+            "patch_stage_sec": patch["metrics"]["stage_sec"],
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -49,7 +49,8 @@ from ..emit.triples import (
     company_triples, global_family_triples, observation_triples,
 )
 from .web_pipeline import (
-    assemble_facts, parse_company_profiles, parse_fact_records,
+    assemble_facts, parse_fact_records, profile_rows,
+    profiles_to_companies,
 )
 
 
@@ -106,38 +107,61 @@ def run_incremental(
     here and called out so nobody assumes otherwise."""
     from .lineage import company_manifest, dirty_companies
 
+    import time as _time
+
     store = pathlib.Path(store_dir)
     store.mkdir(parents=True, exist_ok=True)
     ext_dir = store / "extracted"
     rec_dir = store / "records"
+    prof_dir = store / "profiles"
     man_dir = store / "manifest"
     obs_dir = store / "observations"
     tri_dir = store / "triples"
     metrics: dict = {}
+    # per-stage wall clocks land in metrics["stage_sec"] — the same
+    # observability the lineage table gives row counts, so a slow
+    # patch run can be attributed without re-instrumenting
+    stage_sec: dict = {}
+    metrics["stage_sec"] = stage_sec
+    _t0 = _time.monotonic()
 
-    # deterministic one-row-per-url view of the incoming crawl slice
-    # (duplicate urls are normal; earliest capture + content tie-break
-    # wins, matching url_dedup's contract)
+    def _tick(name: str) -> None:
+        nonlocal _t0
+        now = _time.monotonic()
+        stage_sec[name] = round(stage_sec.get(name, 0.0) + now - _t0, 3)
+        _t0 = now
+
+    # -- 1. url-grain extraction store ------------------------------
+    # order matters for patch cost: anti-join the store's known urls
+    # FIRST, so the dedup window below (which must order by an md5 of
+    # every html payload) runs only over genuinely-new urls. When a
+    # rolling crawl re-presents an old slice plus a few late pages,
+    # this keeps the per-page hash pass proportional to the late
+    # pages, not the slice. Result-identical to dedup-then-anti-join:
+    # a stored url is dropped either way, and a new url's
+    # earliest-capture pick never involves stored urls.
+    if _exists(ext_dir):
+        known = spark.read.parquet(str(ext_dir)).select("url")
+        incoming = pages.join(known, "url", "left_anti")
+    else:
+        incoming = pages
+    # deterministic one-row-per-url view of the new slice (duplicate
+    # urls are normal; earliest capture + content tie-break wins,
+    # matching url_dedup's contract)
     w = Window.partitionBy("url").orderBy(
         F.col("warc_ts").asc_nulls_last(), F.md5(F.col("html")).asc()
     )
-    pages_u = (
-        pages.withColumn("_rn", F.row_number().over(w))
+    new_pages = (
+        incoming.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1).drop("_rn")
     )
-
-    # -- 1. url-grain extraction store ------------------------------
-    if _exists(ext_dir):
-        known = spark.read.parquet(str(ext_dir)).select("url")
-        new_pages = pages_u.join(known, "url", "left_anti")
-    else:
-        new_pages = pages_u
     # checkpoint the freshly-extracted slice ONCE: both the store
     # append and the record parse read it, and extraction is the
     # expensive Python stage that must run once per new page
     new_ext = with_extracted_text(new_pages).select("url", "text") \
         .localCheckpoint(eager=True)
     metrics["new_pages"] = new_ext.count()
+    _tick("extract")
 
     # -- 2. url-grain fact-record store (written FIRST) -------------
     # crash-ordering contract: the extraction store is the replay
@@ -151,15 +175,30 @@ def run_incremental(
     new_recs = parse_fact_records(new_ext).withColumn(
         "cik_bucket", cik_bucket_col(F.col("cik"), n_cik_buckets)
     ).localCheckpoint(eager=True)
+    # url-grain profile rows store: the companies dim rebuilds from
+    # these TINY rows (one per profile sentence ever seen), so a patch
+    # run never re-reads stored TEXT at all — without this store the
+    # profile re-parse is a full-corpus scan per run, the other
+    # 10^12-page patch-cost driver beside the manifest scan. A
+    # replayed crash batch appends duplicate rows; the deterministic
+    # per-cik min in profiles_to_companies collapses them (idempotent,
+    # same contract as the records store's dropDuplicates).
+    new_prof = profile_rows(new_ext).withColumn(
+        "cik_bucket", cik_bucket_col(F.col("cik"), n_cik_buckets)
+    ).localCheckpoint(eager=True)
     if metrics["new_pages"]:
         new_recs.write.mode("append").partitionBy("cik_bucket") \
             .parquet(str(rec_dir))
+        new_prof.write.mode("append").partitionBy("cik_bucket") \
+            .parquet(str(prof_dir))
         new_ext.write.mode("append").parquet(str(ext_dir))
-    extracted = (
-        spark.read.parquet(str(ext_dir)) if _exists(ext_dir)
-        else new_ext.limit(0)
+    prof_store = (
+        spark.read.parquet(str(prof_dir)).drop("cik_bucket")
+        if _exists(prof_dir) else new_prof.drop("cik_bucket").limit(0)
     )
-    companies = parse_company_profiles(extracted).localCheckpoint(eager=True)
+    companies = profiles_to_companies(prof_store) \
+        .localCheckpoint(eager=True)
+    _tick("stores_and_companies")
 
     # -- 3. manifest diff -> dirty ciks (candidate-pruned) ----------
     # only companies touched by NEW records or NEW profile lines can
@@ -169,7 +208,7 @@ def run_incremental(
     # records-store scan per run (the 10^12-page patch-cost driver)
     candidates = (
         new_recs.select("cik")
-        .unionByName(parse_company_profiles(new_ext).select("cik"))
+        .unionByName(new_prof.select("cik"))
         .distinct().localCheckpoint(eager=True)
     )
     cand_buckets = sorted({
@@ -204,6 +243,7 @@ def run_incremental(
     dirty = dirty.localCheckpoint(eager=True)
     metrics["n_candidates"] = candidates.count()
     metrics["n_dirty"] = dirty.count()
+    _tick("manifest_diff")
 
     # -- 4. patch observations for dirty ciks only ------------------
     dirty_buckets = dirty.select(
@@ -239,6 +279,7 @@ def run_incremental(
         metrics["obs_buckets_rewritten"] = 0
         companies_d = companies.limit(0)
         obs_dirty = None
+    _tick("obs_patch")
     if not _exists(obs_dir):
         # degenerate cold run (no parseable companies/facts at all):
         # nothing was written; return a consistent empty world instead
@@ -269,6 +310,7 @@ def run_incremental(
     observations = canonical_observations_order(
         spark.read.parquet(str(obs_dir)).drop("cik_bucket")
     ).localCheckpoint(eager=True)
+    _tick("obs_readback")
 
     # -- 5. bounded downstream aggregates: full recompute -----------
     benchmarks = compute_benchmarks(observations, fy).cache()
@@ -321,6 +363,7 @@ def run_incremental(
         with _DynamicOverwrite(spark):
             to_write.write.mode("overwrite") \
                 .partitionBy("family", "cik_bucket").parquet(str(tri_dir))
+        _tick("triples_patch")
         # -- 7. commit the manifest: patch only candidate buckets ----
         m_out = m_cand.withColumn(
             "cik_bucket", cik_bucket_col(F.col("cik"), n_cik_buckets)
@@ -336,6 +379,7 @@ def run_incremental(
         with _DynamicOverwrite(spark):
             m_out.write.mode("overwrite").partitionBy("cik_bucket") \
                 .parquet(str(man_dir))
+        _tick("manifest_commit")
     # n_dirty == 0: every store (triples, manifest) is already current
     # — a clean re-run rewrites NOTHING (asserted via file mtimes in
     # tests/test_incremental.py)

@@ -98,21 +98,42 @@ def assemble_facts(records: DataFrame) -> DataFrame:
     )
 
 
-def parse_company_profiles(pages_with_text: DataFrame) -> DataFrame:
-    """profile sentences -> COMPANIES_SCHEMA (sector via SIC ladder,
-    industry = sic_description; infer_sector_industry analog)."""
+def profile_rows(pages_with_text: DataFrame) -> DataFrame:
+    """Pre-selection half of the profile parse: every profile sentence
+    in the text, one row each, NO per-cik dedup. This is the grain the
+    incremental profiles store persists (plans/incremental.py) — tiny
+    rows that accumulate append-only, so a patch run never re-parses
+    stored text to rebuild the companies dim."""
     lines = pages_with_text.select(
         F.explode(F.split(F.col("text"), "\n")).alias("line")
     ).where(F.col("line").rlike(_PROFILE_RE))
     g = lambda i: F.regexp_extract("line", _PROFILE_RE, i)  # noqa: E731
-    prof = lines.select(
+    return lines.select(
         g(2).alias("symbol"),
         g(3).alias("cik"),
         g(1).alias("name"),
         g(4).alias("sic"),
         g(5).alias("sic_description"),
         g(6).alias("fye"),
-    ).dropDuplicates(["cik"])
+    )
+
+
+def profiles_to_companies(prof: DataFrame) -> DataFrame:
+    """Selection half: deterministic one-row-per-cik (lexicographic min
+    over the full extracted tuple — NOT dropDuplicates, whose pick is
+    partition-order-dependent and would break the incremental-store ==
+    scratch-run byte-parity contract), then the SIC sector ladder."""
+    w = Window.partitionBy("cik").orderBy(
+        F.col("symbol").asc_nulls_first(),
+        F.col("name").asc_nulls_first(),
+        F.col("sic").asc_nulls_first(),
+        F.col("sic_description").asc_nulls_first(),
+        F.col("fye").asc_nulls_first(),
+    )
+    prof = (
+        prof.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1).drop("_rn")
+    )
     sic_int = F.col("sic").try_cast("int")
     sector = sic_sector_expr(sic_int)
     return prof.select(
@@ -123,6 +144,12 @@ def parse_company_profiles(pages_with_text: DataFrame) -> DataFrame:
         .alias("industry"),
         "sic", "sic_description", "fye",
     )
+
+
+def parse_company_profiles(pages_with_text: DataFrame) -> DataFrame:
+    """profile sentences -> COMPANIES_SCHEMA (sector via SIC ladder,
+    industry = sic_description; infer_sector_industry analog)."""
+    return profiles_to_companies(profile_rows(pages_with_text))
 
 
 def extracted_text_stage(pages: DataFrame) -> DataFrame:
