@@ -434,3 +434,62 @@ def search_ivf_index(spark, store_dir: str, queries: DataFrame,
         .select("query_id", "rank", "neighbor_id", "cell",
                 F.round("cos", 6).alias("cos"))
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication inside trained k-means cells. Members of a cell
+    whose pairwise cosine >= tau form near-duplicate components; per
+    component the KEPT representative is the member FARTHEST from its
+    cell centroid (lowest centroid cosine — the paper's
+    keep-the-atypical rule, which preserves diversity), ties to the
+    lowest id. Output: one row per CLUSTERED member
+    (cell, cluster_id, id, cent_cos, keep) — singletons are untouched
+    by the policy and not emitted (same contract as
+    duplicate_clusters).
+
+    Plan shape: pair space is cell-restricted (the trained coarse
+    quantizer bounds it — never n^2 across cells, the same posture as
+    ann_ivf_multiprobe); components run on the salted
+    pointer-jumping connected-components kernel; the keep policy is
+    one window keyed by cluster_id (bounded groups). All cosine
+    arithmetic is the sequential-fold form that DuckDB's list_sum
+    replays bit-for-bit, so the keep ORDERING is engine-portable —
+    list_cosine_similarity would not be."""
+    from .canonicalize import duplicate_clusters
+
+    dim = len(centroids[0])
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).where(F.col("v").isNotNull() & (F.size("v") == dim))
+    asg = e.withColumn("cell", cell_assign_col(F.col("v"), centroids))
+    a = asg.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                   "cell")
+    b = asg.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                   "cell")
+    edges = (
+        a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
+        .where(cosine_col(F.col("va"), F.col("vb")) >= tau)
+        .select("id_a", "id_b")
+    )
+    clusters = duplicate_clusters(edges)
+    cent_arr = F.array(*[_lit_vec(c) for c in centroids])
+    mem = clusters.join(asg, "id").withColumn(
+        "cent_cos",
+        cosine_col(F.col("v"), F.element_at(cent_arr, F.col("cell") + 1)),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("cent_cos").asc(), F.col("id").asc()
+    )
+    return (
+        mem.withColumn("keep", F.row_number().over(w) == 1)
+        .select("cell", "cluster_id", "id",
+                F.round("cent_cos", 6).alias("cent_cos"), "keep")
+    )

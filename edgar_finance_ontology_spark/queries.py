@@ -713,10 +713,13 @@ def q_ann_ivf_multiprobe(spark, sf):
         .orderBy("query_id", "rank")
 
 
-def _sql_ivf_multiprobe(k: int = 8, iters: int = 2, dim: int = 64,
-                        nq: int = 10, nprobe: int = 2,
-                        topk: int = 3, seed_sample: int = 2048) -> str:
-    """The DuckDB twin REPLAYS the whole k-means fit (iterations
+_D2 = ("list_sum(list_transform(list_zip({v}, {c}), "
+       "t -> (t[1]-t[2])*(t[1]-t[2])))")
+
+
+def _sql_kmeans_parts(k: int = 8, iters: int = 2, dim: int = 64,
+                      seed_sample: int = 2048) -> tuple[list[str], str]:
+    """Shared DuckDB replay of the whole k-means fit (iterations
     unrolled at SQL-generation time): seed sample = the `seed_sample`
     lowest (md5(id), id) vectors (md5 hex is engine-identical, so the
     hash-order selection replays exactly), farthest-first seeding over
@@ -724,9 +727,10 @@ def _sql_ivf_multiprobe(k: int = 8, iters: int = 2, dim: int = 64,
     (list_sum matches Spark's aggregate fold bit-for-bit — verified),
     centroid update by exact DECIMAL(38,15) per-dimension sums cast to
     double means — the same arithmetic contract the Spark fit
-    documents."""
-    d2 = ("list_sum(list_transform(list_zip({v}, {c}), "
-          "t -> (t[1]-t[2])*(t[1]-t[2])))")
+    documents. Returns (cte_parts, final_centroid_cte); the parts end
+    with `asg` = the full corpus assignment to final cells, which both
+    the ivf-multiprobe and semdedup twins consume."""
+    d2 = _D2
     parts = [
         "WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) "
         "AS v FROM embeddings)",
@@ -788,8 +792,23 @@ def _sql_ivf_multiprobe(k: int = 8, iters: int = 2, dim: int = 64,
     SELECT cell, list(CAST(s AS DOUBLE) / n ORDER BY i) AS c
     FROM s{it} GROUP BY cell) u USING (cell))""")
     fin = f"c{iters}"
-    probe_d2 = d2.format(v="q.v", c="c.c")
     final_d2 = d2.format(v="b.v", c="c.c")
+    parts.append(f"""asg AS MATERIALIZED (
+  SELECT id, v, cell FROM (
+    SELECT b.id, b.v, c.cell,
+           row_number() OVER (PARTITION BY b.id
+                              ORDER BY {final_d2} ASC, c.cell ASC) AS rn
+    FROM fitb b, {fin} c) x WHERE rn = 1)""")
+    return parts, fin
+
+
+def _sql_ivf_multiprobe(k: int = 8, iters: int = 2, dim: int = 64,
+                        nq: int = 10, nprobe: int = 2,
+                        topk: int = 3, seed_sample: int = 2048) -> str:
+    """IVF multi-probe twin on top of the shared k-means replay."""
+    parts, fin = _sql_kmeans_parts(k, iters, dim, seed_sample)
+    d2 = _D2
+    probe_d2 = d2.format(v="q.v", c="c.c")
     parts.append(
         f"qsel AS (SELECT id, v FROM base ORDER BY id LIMIT {nq})"
     )
@@ -806,12 +825,6 @@ def _sql_ivf_multiprobe(k: int = 8, iters: int = 2, dim: int = 64,
     WHERE q.v IS NOT NULL
       AND len(q.v) = (SELECT len(v) FROM seed0)) x
   WHERE rn <= {nprobe})""")
-    parts.append(f"""asg AS (
-  SELECT id, v, cell FROM (
-    SELECT b.id, b.v, c.cell,
-           row_number() OVER (PARTITION BY b.id
-                              ORDER BY {final_d2} ASC, c.cell ASC) AS rn
-    FROM fitb b, {fin} c) x WHERE rn = 1)""")
     return ",\n".join(parts) + f"""
 SELECT query_id, rank, neighbor_id, cell, round(cos, 6) AS cos FROM (
   SELECT p.query_id, a.id AS neighbor_id, a.cell,
@@ -826,6 +839,72 @@ WHERE rank <= {topk} ORDER BY query_id, rank
 
 
 SQL_ANN_IVF_MULTIPROBE = _sql_ivf_multiprobe()
+
+
+def q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023): semantic dedup inside TRAINED
+    k-means cells — pairwise cosine >= tau within a cell forms
+    near-dup components; per component keep the member FARTHEST from
+    the cell centroid (the paper's keep-the-atypical rule). Reuses the
+    same deterministic k-means fit as ann_ivf_multiprobe, so the
+    DuckDB twin replays the full fit + assignment + component + keep
+    chain."""
+    from .operators.similarity import kmeans_fit, semdedup
+
+    e = _t(spark, sf, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=2)
+    return semdedup(e, cents, tau=0.35).orderBy("id")
+
+
+def _sql_semdedup(k: int = 8, iters: int = 2, tau: float = 0.35,
+                  seed_sample: int = 2048) -> str:
+    """SemDeDup twin on the shared k-means replay: `asg` (final cell
+    assignment) -> within-cell fold-cosine edges -> recursive-CTE
+    connected components (cluster_id = min id) -> centroid cosine ->
+    keep = lowest (cent_cos, id) per cluster. Cosines use the same
+    list_sum sequential fold the Spark side folds with (bit-identical,
+    so both the tau edge test and the keep ORDERING replay exactly —
+    list_cosine_similarity would not)."""
+    parts, fin = _sql_kmeans_parts(k, iters, seed_sample=seed_sample)
+    dot = ("list_sum(list_transform(list_zip({a}, {b}), "
+           "t -> t[1]*t[2]))")
+    nrm = "sqrt(list_sum(list_transform({a}, t -> t*t)))"
+
+    def cos(a, b):
+        return (f"({dot.format(a=a, b=b)} / "
+                f"({nrm.format(a=a)} * {nrm.format(a=b)}))")
+
+    parts.append(f"""edges AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+  WHERE {cos('a.v', 'b.v')} >= {tau!r})""")
+    parts.append("""sym AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION SELECT id_b, id_a FROM edges),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a WHERE r.a <> s.b)
+  SELECT * FROM r),
+clus AS (
+  SELECT n.a AS id, least(n.a, min(r.b)) AS cluster_id
+  FROM (SELECT DISTINCT a FROM sym) n JOIN reach r ON r.a = n.a
+  GROUP BY n.a)""")
+    parts.append(f"""mem AS (
+  SELECT a.cell, c.cluster_id, c.id,
+         {cos('a.v', 'ct.c')} AS cent_cos
+  FROM clus c JOIN asg a ON a.id = c.id
+  JOIN {fin} ct ON ct.cell = a.cell)""")
+    return ",\n".join(parts) + """
+SELECT cell, cluster_id, id, round(cent_cos, 6) AS cent_cos,
+       (row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY cent_cos ASC, id ASC) = 1) AS keep
+FROM mem ORDER BY id
+"""
+
+
+SQL_SEMDEDUP = _sql_semdedup()
 
 
 def q_lang_id(spark, sf):
@@ -1904,6 +1983,7 @@ QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
     "ann_ivf_cell": (q_ann_ivf_cell, SQL_ANN_IVF),
     "ann_ivf_multiprobe": (q_ann_ivf_multiprobe, SQL_ANN_IVF_MULTIPROBE),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_scores": (q_quality, SQL_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKENS),

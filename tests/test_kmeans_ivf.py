@@ -189,3 +189,38 @@ def test_ivf_twin_parity_on_dirty_embeddings(spark, tmp_path):
     fn, sql = QUERIES["ann_ivf_multiprobe"]
     r = compare(fn(spark, sf), con, sql)
     assert r["match"], r
+
+
+def test_semdedup_keeps_atypical_and_skips_singletons(spark):
+    """SemDeDup policy on a hand-built geometry: ids 0-2 form one
+    near-dup component in the (0,0)-ish cell — the kept one is the
+    member FARTHEST from the centroid (lowest centroid cosine);
+    id 20 sits alone in the far cell and must not be emitted."""
+    from edgar_finance_ontology_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.999, 0.01]),        # near-identical to 0
+        (2, [0.95, 0.31]),         # tilted: same component, farther
+        (20, [-50.0, -50.0]),      # own cell, singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.05], [-50.0, -50.0]]
+    out = semdedup(df, cents, tau=0.9).orderBy("id").collect()
+    assert [r["id"] for r in out] == [0, 1, 2]
+    assert all(r["cluster_id"] == 0 for r in out)
+    kept = {r["id"] for r in out if r["keep"]}
+    # id 2 has the LOWEST cosine to centroid (most atypical) -> kept
+    assert kept == {2}
+
+
+def test_semdedup_cell_restriction(spark):
+    """Members of different cells never pair, even at cosine 1.0:
+    identical directions split across cells stay un-clustered."""
+    from edgar_finance_ontology_spark.operators.similarity import semdedup
+
+    rows = [(0, [1.0, 1.0]), (1, [40.0, 40.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 1.0], [40.0, 40.0]]
+    out = semdedup(df, cents, tau=0.5).collect()
+    assert out == []
