@@ -1754,6 +1754,72 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_dsir_select(spark, sf):
+    """DSIR (Xie et al. 2023) deterministic selection: treat source
+    'src0' documents as the TARGET distribution, every other source as
+    the raw pool; hashed uni+bigram bag models (B=8192, Laplace
+    smoothed), per-doc integer-bit-quantized importance weights, top-20
+    by (weight_bits desc, id asc)."""
+    from .operators.dsir import dsir_select_topk
+
+    d = _t(spark, sf, "documents")
+    target = d.where(F.col("source") == "src0")
+    raw = d.where(F.col("source") != "src0")
+    return dsir_select_topk(raw, target, k=20)
+
+
+_DSIR_B = 8192
+
+SQL_DSIR = f"""
+WITH toks AS (
+  SELECT doc_id AS id, source,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT id, source, unnest(list_concat(t,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1])
+                ELSE [] END)) AS gram
+  FROM toks),
+feats AS (
+  SELECT id, source,
+         (('0x' || substr(md5(gram), 1, 8))::BIGINT % {_DSIR_B})
+           ::INT AS bucket,
+         count(*)::BIGINT AS n
+  FROM grams WHERE gram <> '' GROUP BY 1, 2, 3),
+rfeats AS (SELECT id, bucket, n FROM feats WHERE source <> 'src0'),
+tfeats AS (SELECT id, bucket, n FROM feats WHERE source = 'src0'),
+rm AS (SELECT bucket, sum(n)::BIGINT AS cnt_r FROM rfeats GROUP BY 1),
+tm AS (SELECT bucket, sum(n)::BIGINT AS cnt_t FROM tfeats GROUP BY 1),
+tot AS (
+  SELECT (SELECT coalesce(sum(n), 0) FROM rfeats)::DOUBLE AS tot_r,
+         (SELECT coalesce(sum(n), 0) FROM tfeats)::DOUBLE AS tot_t),
+lam AS (
+  SELECT bucket,
+         floor(log2(((coalesce(cnt_t, 0) + 1)
+                       * (tot.tot_r + {_DSIR_B}))
+                    / ((coalesce(cnt_r, 0) + 1)
+                       * (tot.tot_t + {_DSIR_B})))
+               * 1024 + 0.5)::BIGINT AS lam_mb
+  FROM rm FULL JOIN tm USING (bucket), tot),
+scored AS (
+  SELECT f.id, sum(f.n)::BIGINT AS n_feats,
+         sum(f.n * l.lam_mb)::BIGINT AS weight_mb
+  FROM rfeats f JOIN lam l USING (bucket) GROUP BY 1),
+alldocs AS (
+  SELECT DISTINCT doc_id AS id FROM documents WHERE source <> 'src0'),
+w AS (
+  SELECT a.id, coalesce(s.n_feats, 0)::BIGINT AS n_feats,
+         coalesce(s.weight_mb, 0)::BIGINT AS weight_mb
+  FROM alldocs a LEFT JOIN scored s USING (id))
+SELECT row_number() OVER (ORDER BY weight_mb DESC, id ASC) AS rank,
+       id, n_feats, weight_mb
+FROM w ORDER BY weight_mb DESC, id ASC LIMIT 20
+"""
+
+
 def q_temperature_mix(spark, sf):
     """Temperature-based source mixing (p_i ∝ n_i^0.5, 4000-token
     target): per-source kept summary. sqrt (correctly rounded in
@@ -2006,6 +2072,7 @@ QUERIES = {
     "pii_scrub_stats": (q_pii_scrub, SQL_PII),
     "pii_card_stats": (q_pii_cards, SQL_PII_CARDS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
+    "dsir_select": (q_dsir_select, SQL_DSIR),
     "mix_token_budgets": (q_mix_token_budgets, SQL_MIX),
     "quality_funnel": (q_quality_funnel, SQL_FUNNEL),
     "pack_token_shards": (q_pack_shards, SQL_PACK),
