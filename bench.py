@@ -60,7 +60,7 @@ BENCH_QUERIES = [
     "pack_token_shards",
     "near_dup_decontaminate", "bm25_topk", "quality_classifier",
     "temperature_mix", "substring_dup_stats", "trim_dup_spans",
-    "semdedup", "dsir_select",
+    "semdedup", "dsir_select", "cluster_balanced_sample",
 ]
 
 

@@ -493,3 +493,46 @@ def semdedup(
         .select("cell", "cluster_id", "id",
                 F.round("cent_cos", 6).alias("cent_cos"), "keep")
     )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    per_cell: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling — the D4-style companion
+    to `semdedup` (Tirumala et al. 2023, arXiv:2308.12284: dedup, then
+    sample ACROSS clusters rather than from the head of the density
+    distribution): up to `per_cell` members per trained k-means cell,
+    chosen in (md5(id), id) hash order so the within-cell pick is
+    uniform over the id space and engine-replayable. Output
+    (cell, pos, id) with pos = 1..per_cell rank within the cell.
+
+    A corpus-proportional sample over-represents whatever dominates
+    the crawl (boilerplate-heavy head clusters); an equal per-cell
+    quota flattens the topic distribution — the same flattening
+    argument as `mix_by_temperature` at alpha=0, but in embedding
+    space instead of source labels.
+
+    Plan shape: ONE window keyed by cell (k partitions, bounded by the
+    quota after the rank filter); assignment is the same pure-map
+    `cell_assign_col` the IVF family uses — no joins, no driver data.
+    At 10^12 rows a per-cell TakeOrdered beats the window only if k is
+    tiny; with the 50k-cluster regime the paper runs, the cell-keyed
+    window partial-ranks per partition and is the right plan."""
+    dim = len(centroids[0])
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).where(F.col("v").isNotNull() & (F.size("v") == dim))
+    asg = e.withColumn("cell", cell_assign_col(F.col("v"), centroids))
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("id").cast("string")).asc(), F.col("id").asc()
+    )
+    return (
+        asg.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= per_cell)
+        .select("cell", F.col("pos").cast("int").alias("pos"), "id")
+    )

@@ -907,6 +907,39 @@ FROM mem ORDER BY id
 SQL_SEMDEDUP = _sql_semdedup()
 
 
+def q_cluster_balanced_sample(spark, sf):
+    """D4-style diversity sampling: equal per-cell quota (10) from the
+    trained k-means cells, members picked in (md5(id), id) hash order
+    — flattens the corpus's topic distribution instead of sampling
+    proportional to cluster mass."""
+    from .operators.similarity import cluster_balanced_sample, kmeans_fit
+
+    e = _t(spark, sf, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=2)
+    return cluster_balanced_sample(e, cents, per_cell=10) \
+        .orderBy("cell", "pos")
+
+
+def _sql_cluster_balanced(k: int = 8, iters: int = 2,
+                          per_cell: int = 10,
+                          seed_sample: int = 2048) -> str:
+    """Twin on the shared k-means replay: rank `asg` members within
+    each final cell by (md5(id), id) and keep the quota."""
+    parts, _fin = _sql_kmeans_parts(k, iters, seed_sample=seed_sample)
+    return ",\n".join(parts) + f"""
+SELECT cell, pos::INT AS pos, id FROM (
+  SELECT cell, id,
+         row_number() OVER (
+           PARTITION BY cell
+           ORDER BY md5(CAST(id AS VARCHAR)) ASC, id ASC) AS pos
+  FROM asg) x
+WHERE pos <= {per_cell} ORDER BY cell, pos
+"""
+
+
+SQL_CLUSTER_BALANCED = _sql_cluster_balanced()
+
+
 def q_lang_id(spark, sf):
     from .operators.textops import lang_id
 
@@ -2050,6 +2083,8 @@ QUERIES = {
     "ann_ivf_cell": (q_ann_ivf_cell, SQL_ANN_IVF),
     "ann_ivf_multiprobe": (q_ann_ivf_multiprobe, SQL_ANN_IVF_MULTIPROBE),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "cluster_balanced_sample": (q_cluster_balanced_sample,
+                                SQL_CLUSTER_BALANCED),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_scores": (q_quality, SQL_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKENS),

@@ -224,3 +224,23 @@ def test_semdedup_cell_restriction(spark):
     cents = [[1.0, 1.0], [40.0, 40.0]]
     out = semdedup(df, cents, tau=0.5).collect()
     assert out == []
+
+
+def test_cluster_balanced_sample_quota_and_order(spark):
+    """Equal per-cell quota in hash order: with 5 members per blob and
+    per_cell=3, each cell yields exactly 3 rows, pos 1..3, and the
+    pick is the md5-order prefix (partition-invariant)."""
+    from edgar_finance_ontology_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    df = _blob_df(spark)
+    cents = sorted(kmeans_fit(df, k=2, iters=3))
+    out = cluster_balanced_sample(df, cents, per_cell=3) \
+        .orderBy("cell", "pos").collect()
+    assert len(out) == 6
+    assert [(r["cell"], r["pos"]) for r in out] == [
+        (0, 1), (0, 2), (0, 3), (1, 1), (1, 2), (1, 3)]
+    again = cluster_balanced_sample(df.repartition(7), cents, per_cell=3) \
+        .orderBy("cell", "pos").collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
