@@ -1274,6 +1274,51 @@ GROUP BY n.id ORDER BY n.id
 """
 
 
+def q_pagerank_neardup(spark, sf):
+    """Integer-exact PageRank (4 rounds, 17/20 damping, 10^6-unit
+    ranks) over the symmetrized near-dup pair graph — 'how central is
+    this document in its duplication neighborhood', the
+    prior-popularity signal shape over an alias/identity graph."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graphs import pagerank_int
+
+    d = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.12, max_df=64)
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(
+        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+    ))
+    return pagerank_int(sym, iters=4).orderBy("id")
+
+
+def _sql_pagerank(iters: int = 4, scale: int = 1_000_000,
+                  num: int = 17, den: int = 20) -> str:
+    """Twin: the shared near-dup `sym` edge CTEs, then the integer
+    PageRank recurrence unrolled — every engine-side op is an integer
+    multiply / floor divide / sum, so the replay is bit-exact."""
+    teleport = (scale * (den - num)) // den
+    parts = [
+        f"WITH {_CLUSTER_CTES}",
+        "deg AS (SELECT a AS src, count(*)::BIGINT AS deg "
+        "FROM sym GROUP BY 1)",
+        f"r0 AS (SELECT id, {scale}::BIGINT AS r FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(f"""r{i + 1} AS (
+  SELECT n.id, ({teleport} + coalesce(c.s, 0))::BIGINT AS r
+  FROM nodes n LEFT JOIN (
+    SELECT s.b AS id, sum(({num} * r.r) // ({den} * d.deg))::BIGINT AS s
+    FROM sym s JOIN r{i} r ON r.id = s.a JOIN deg d ON d.src = s.a
+    GROUP BY 1) c USING (id))""")
+    return ",\n".join(parts) + f"""
+SELECT id, r AS rank_units FROM r{iters} ORDER BY id
+"""
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+
 def q_dedup_keep_best(spark, sf):
     """Cluster selection policy: for every multi-member near-dup
     cluster, keep the best-quality representative (quality desc, id
@@ -2093,6 +2138,7 @@ QUERIES = {
     "doc_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "gazetteer_mentions": (q_gazetteer_mentions, SQL_GAZETTEER),
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_CLUSTERS),
+    "pagerank_neardup": (q_pagerank_neardup, SQL_PAGERANK),
     "dedup_keep_best": (q_dedup_keep_best, SQL_KEEP_BEST),
     "global_topk": (q_global_topk, SQL_GLOBAL_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
