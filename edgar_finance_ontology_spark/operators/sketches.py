@@ -1,0 +1,86 @@
+"""Cardinality sketches — distributed approximate distinct counts
+whose result is DETERMINISTIC and engine-replayable.
+
+Spark ships `approx_count_distinct` (a native HLL++), but its result
+depends on an engine-internal hash and register encoding — it cannot
+be replayed by another engine, asserted in a cross-engine oracle, or
+even guaranteed stable across Spark versions. This module rebuilds
+classic HyperLogLog (Flajolet et al. 2007) from engine-portable
+primitives (the md5 integer idiom shared with `stratified_sample` /
+the dedup family):
+
+  * register index = first 32 md5 bits mod m (m = 2^p registers);
+  * rank ρ = leading-zero count of the NEXT 32 md5 bits + 1
+    (ρ ∈ [1, 33]), via bit-length = floor(log2(w)) + 1 — floor(log2)
+    on integers is cross-engine-safe (exact at powers of two, >1 ulp
+    from a boundary elsewhere; the `unigram_surprisal` lesson);
+  * the harmonic-mean denominator Σ 2^{-M_j} is summed SCALED:
+    Σ 2^{33-M_j} — every term is an integer power of two and every
+    partial sum an integer < 2^53, so the double sum is EXACT and
+    order-free (shuffle-safe, twin-replayable without a decimal trick);
+  * small-range (linear-counting) correction when raw ≤ 2.5·m and
+    empty registers remain, per the paper.
+
+Accuracy is the standard ~1.04/√m relative error (m=4096 → ~1.6%).
+
+100-TB posture: ONE groupBy (group, register) max-aggregation —
+map-side combined, at most m rows per group survive the shuffle —
+then a bounded per-group rollup. The sketch never materializes value
+sets; memory is O(m) per group regardless of corpus size. This is the
+count-distinct you can afford over 10^12 urls per domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hll_idx_rho(value: Column, p: int) -> tuple[Column, Column]:
+    m = 1 << p
+    h = F.md5(value.cast("string"))
+    idx = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m) \
+        .cast("int")
+    w = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    bitlen = F.when(w > 0, F.floor(F.log2(w)) + 1).otherwise(F.lit(0))
+    rho = (F.lit(33) - bitlen).cast("int")
+    return idx, rho
+
+
+def hll_distinct(df: DataFrame, value_col: str,
+                 group_cols: list[str] | None = None,
+                 p: int = 12) -> DataFrame:
+    """-> per group: (…group_cols, n_registers_hit, hll_estimate)
+    where hll_estimate is rounded to 3dp. NULL values are ignored
+    (SQL COUNT(DISTINCT ...) semantics)."""
+    group_cols = group_cols or []
+    m = 1 << p
+    idx, rho = _hll_idx_rho(F.col(value_col), p)
+    base = df.where(F.col(value_col).isNotNull())
+    regs = (
+        base.select(*group_cols, idx.alias("idx"), rho.alias("rho"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("M"))
+    )
+    # Σ 2^(33-M): exact integer-valued double sum (see module doc)
+    stats = regs.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_hit"),
+        F.sum(F.pow(F.lit(2.0), F.lit(33) - F.col("M")))
+        .cast("long").alias("t_hit"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    t_total = (
+        F.col("t_hit")
+        + (F.lit(int(m)) - F.col("n_hit")) * F.lit(float(2 ** 33))
+    )
+    raw = F.lit(alpha * m * m * float(2 ** 33)) / t_total
+    v_empty = F.lit(int(m)) - F.col("n_hit")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
+    ).otherwise(raw)
+    return stats.select(
+        *group_cols,
+        F.col("n_hit").cast("int").alias("n_registers_hit"),
+        F.round(est, 3).alias("hll_estimate"),
+    )

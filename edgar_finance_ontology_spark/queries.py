@@ -1274,6 +1274,65 @@ GROUP BY n.id ORDER BY n.id
 """
 
 
+def q_hll_distinct(spark, sf):
+    """Portable HyperLogLog (p=12, ~1.6% error): per returnflag,
+    estimated vs exact distinct order count over lineitem. The whole
+    sketch — md5 registers, exact scaled harmonic sum, linear-counting
+    correction — replays bit-for-bit in the DuckDB twin, which Spark's
+    native approx_count_distinct cannot do."""
+    from .operators.sketches import hll_distinct
+
+    li = _t(spark, sf, "lineitem")
+    hll = hll_distinct(li, "l_orderkey", ["l_returnflag"], p=12)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct"))
+    return (
+        exact.join(hll, "l_returnflag")
+        .select(F.col("l_returnflag").alias("flag"), "exact_distinct",
+                "n_registers_hit", "hll_estimate")
+        .orderBy("flag")
+    )
+
+
+SQL_HLL = """
+WITH h AS (
+  SELECT l_returnflag AS flag, md5(CAST(l_orderkey AS VARCHAR)) AS hx
+  FROM lineitem WHERE l_orderkey IS NOT NULL),
+ir AS (
+  SELECT flag,
+         ((('0x' || substr(hx, 1, 8))::BIGINT % 4096))::INT AS idx,
+         ('0x' || substr(hx, 9, 8))::BIGINT AS w
+  FROM h),
+regs AS (
+  SELECT flag, idx,
+         (33 - (CASE WHEN w > 0 THEN floor(log2(w)) + 1
+                     ELSE 0 END))::INT AS m_rho
+  FROM ir),
+mx AS (SELECT flag, idx, max(m_rho) AS M FROM regs GROUP BY 1, 2),
+stats AS (
+  SELECT flag, count(*)::BIGINT AS n_hit,
+         sum(pow(2.0, 33 - M))::BIGINT AS t_hit
+  FROM mx GROUP BY 1),
+est AS (
+  SELECT flag, n_hit,
+         ((0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096 * 8589934592.0)
+           / (t_hit + (4096 - n_hit) * 8589934592.0) AS raw
+  FROM stats),
+fin AS (
+  SELECT flag, n_hit,
+         CASE WHEN raw <= 10240.0 AND (4096 - n_hit) > 0
+              THEN 4096.0 * ln(4096.0 / (4096 - n_hit))
+              ELSE raw END AS e
+  FROM est)
+SELECT x.flag, x.exact_distinct, f.n_hit::INT AS n_registers_hit,
+       round(f.e, 3) AS hll_estimate
+FROM (SELECT l_returnflag AS flag,
+             count(DISTINCT l_orderkey) AS exact_distinct
+      FROM lineitem GROUP BY 1) x
+JOIN fin f USING (flag) ORDER BY flag
+"""
+
+
 def q_pagerank_neardup(spark, sf):
     """Integer-exact PageRank (4 rounds, 17/20 damping, 10^6-unit
     ranks) over the symmetrized near-dup pair graph — 'how central is
@@ -2139,6 +2198,7 @@ QUERIES = {
     "gazetteer_mentions": (q_gazetteer_mentions, SQL_GAZETTEER),
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_CLUSTERS),
     "pagerank_neardup": (q_pagerank_neardup, SQL_PAGERANK),
+    "hll_distinct": (q_hll_distinct, SQL_HLL),
     "dedup_keep_best": (q_dedup_keep_best, SQL_KEEP_BEST),
     "global_topk": (q_global_topk, SQL_GLOBAL_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),

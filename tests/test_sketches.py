@@ -1,0 +1,39 @@
+"""Portable HyperLogLog (operators/sketches.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from edgar_finance_ontology_spark.operators.sketches import hll_distinct
+
+
+def test_hll_accuracy_across_ranges(spark):
+    """~1.04/sqrt(4096) = 1.6% std error; assert a generous 5% on one
+    draw each at 1e3 / 1e4 / 1e5 distincts (linear-counting range,
+    transition range, raw range)."""
+    for n in (1_000, 10_000, 100_000):
+        df = spark.range(n).select(F.col("id").alias("v"))
+        est = hll_distinct(df, "v", p=12).first()["hll_estimate"]
+        assert abs(est - n) / n < 0.05, (n, est)
+
+
+def test_hll_ignores_nulls_and_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1,), (1,), (2,), (None,), (None,)], "v long")
+    r = hll_distinct(df, "v", p=12).first()
+    # exact in the tiny-V linear-counting regime
+    assert r["n_registers_hit"] == 2
+    assert round(r["hll_estimate"]) == 2
+
+
+def test_hll_grouped_and_partition_invariant(spark):
+    df = spark.range(5_000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.col("id").alias("v"))
+    a = {(r["g"], r["n_registers_hit"], r["hll_estimate"])
+         for r in hll_distinct(df.repartition(11), "v", ["g"]).collect()}
+    b = {(r["g"], r["n_registers_hit"], r["hll_estimate"])
+         for r in hll_distinct(df.coalesce(1), "v", ["g"]).collect()}
+    assert a == b and len(a) == 4
+    for g, _hit, est in a:
+        assert abs(est - 1250) / 1250 < 0.05, (g, est)
