@@ -1333,6 +1333,65 @@ JOIN fin f USING (flag) ORDER BY flag
 """
 
 
+def q_kmv_overlap(spark, sf):
+    """KMV-sketch cross-source vocabulary overlap: estimated token
+    Jaccard between every source pair from 256-row sketches — the
+    cheap pre-flight before the exact decontamination join."""
+    from .operators.dedup import tokens_col
+    from .operators.sketches import kmv_pairwise_jaccard
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "source",
+        F.explode(tokens_col(F.col("text"))).alias("token"),
+    ).where(F.col("token") != "")
+    return kmv_pairwise_jaccard(toks, "token", "source", k=256) \
+        .orderBy("set_a", "set_b")
+
+
+SQL_KMV = """
+WITH toks AS (
+  SELECT DISTINCT source AS s, t.value
+  FROM documents,
+       UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS t(value)
+  WHERE t.value <> '' AND t.value IS NOT NULL),
+fr AS (
+  SELECT s, value,
+         (('0x' || substr(md5(value), 1, 13))::BIGINT)
+           / 4503599627370496.0 AS frac
+  FROM toks),
+sk AS (
+  SELECT s, frac, value FROM (
+    SELECT s, frac, value,
+           row_number() OVER (PARTITION BY s
+                              ORDER BY frac ASC, value ASC) AS pos
+    FROM fr) x WHERE pos <= 256),
+prs AS (
+  SELECT a.s AS set_a, b.s AS set_b
+  FROM (SELECT DISTINCT s FROM sk) a, (SELECT DISTINCT s FROM sk) b
+  WHERE a.s < b.s),
+union_rows AS (
+  SELECT set_a, set_b, frac, value, count(*) AS sides FROM (
+    SELECT p.set_a, p.set_b, m.frac, m.value
+    FROM prs p JOIN sk m ON m.s = p.set_a
+    UNION ALL
+    SELECT p.set_a, p.set_b, m.frac, m.value
+    FROM prs p JOIN sk m ON m.s = p.set_b) u
+  GROUP BY 1, 2, 3, 4),
+merged AS (
+  SELECT * FROM (
+    SELECT set_a, set_b, frac, value, sides,
+           row_number() OVER (PARTITION BY set_a, set_b
+                              ORDER BY frac ASC, value ASC) AS pos
+    FROM union_rows) x WHERE pos <= 256)
+SELECT set_a, set_b, count(*)::INT AS n_merged,
+       sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END)::INT AS n_both,
+       round(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END)::BIGINT
+             / count(*), 6) AS kmv_jaccard
+FROM merged GROUP BY 1, 2 ORDER BY set_a, set_b
+"""
+
+
 def q_pagerank_neardup(spark, sf):
     """Integer-exact PageRank (4 rounds, 17/20 damping, 10^6-unit
     ranks) over the symmetrized near-dup pair graph — 'how central is
@@ -2199,6 +2258,7 @@ QUERIES = {
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_CLUSTERS),
     "pagerank_neardup": (q_pagerank_neardup, SQL_PAGERANK),
     "hll_distinct": (q_hll_distinct, SQL_HLL),
+    "kmv_overlap": (q_kmv_overlap, SQL_KMV),
     "dedup_keep_best": (q_dedup_keep_best, SQL_KEEP_BEST),
     "global_topk": (q_global_topk, SQL_GLOBAL_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),

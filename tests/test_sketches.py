@@ -37,3 +37,36 @@ def test_hll_grouped_and_partition_invariant(spark):
     assert a == b and len(a) == 4
     for g, _hit, est in a:
         assert abs(est - 1250) / 1250 < 0.05, (g, est)
+
+
+def test_kmv_jaccard_accuracy_and_invariance(spark):
+    """Two sets of 4000 values with true Jaccard 1/3 (2000 shared /
+    6000 union); k=256 -> stderr ~1/16, assert within 0.12. Result is
+    identical under repartitioning (md5 order is data-determined)."""
+    from edgar_finance_ontology_spark.operators.sketches import (
+        kmv_pairwise_jaccard,
+    )
+
+    rows = [("A", i) for i in range(4000)] + \
+           [("B", i) for i in range(2000, 6000)]
+    df = spark.createDataFrame(rows, "s string, v long")
+    r = kmv_pairwise_jaccard(df, "v", "s", k=256).first()
+    assert (r["set_a"], r["set_b"]) == ("A", "B")
+    assert r["n_merged"] == 256
+    assert abs(r["kmv_jaccard"] - 1 / 3) < 0.12
+    r2 = kmv_pairwise_jaccard(df.repartition(9), "v", "s", k=256).first()
+    assert (r2["n_both"], r2["kmv_jaccard"]) == (r["n_both"], r["kmv_jaccard"])
+
+
+def test_kmv_small_sets_exact(spark):
+    """Sets smaller than k: the merged sample is the full union, so
+    the estimate is the EXACT Jaccard."""
+    from edgar_finance_ontology_spark.operators.sketches import (
+        kmv_pairwise_jaccard,
+    )
+
+    rows = [("A", i) for i in range(10)] + [("B", i) for i in range(5, 20)]
+    df = spark.createDataFrame(rows, "s string, v long")
+    r = kmv_pairwise_jaccard(df, "v", "s", k=256).first()
+    assert r["n_merged"] == 20 and r["n_both"] == 5
+    assert r["kmv_jaccard"] == 0.25
