@@ -173,3 +173,38 @@ def classify_predicates(
         F.col("score").desc(), F.col("pred").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w))
+
+
+def pagerank_priors(alias_edges: DataFrame, iters: int = 4,
+                    src: str = "src", dst: str = "dst") -> DataFrame:
+    """Graph-derived prior-popularity table (entity_id, prior) for
+    `link_mentions`, from an entity alias/co-mention edge list: run
+    the integer-exact PageRank kernel over the symmetrized graph and
+    min-max normalize rank_units into [0, 1] (most-central entity
+    gets prior 1.0, least-central 0.0; a single-rank graph degenerates
+    to 0.5 everywhere — no division by zero).
+
+    This is the web-scale replacement for a hand-maintained
+    base_score table (the reference's candidate priors,
+    select_xbrl_tags.py:1565-1714): on a crawl, centrality in the
+    alias/co-mention graph IS the popularity signal. Normalization
+    bounds are two driver scalars from one agg — the rank table never
+    leaves the executors."""
+    from .graphs import pagerank_int
+
+    e = alias_edges.select(F.col(src).alias("src"),
+                           F.col(dst).alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank_int(sym, iters=iters)
+    lo, hi = ranks.agg(F.min("rank_units"), F.max("rank_units")).first()
+    if hi == lo:
+        return ranks.select(
+            F.col("id").alias("entity_id"), F.lit(0.5).alias("prior")
+        )
+    return ranks.select(
+        F.col("id").alias("entity_id"),
+        ((F.col("rank_units") - F.lit(int(lo)))
+         / F.lit(float(hi - lo))).alias("prior"),
+    )

@@ -47,3 +47,36 @@ def test_partition_invariance_bit_exact(spark):
     b = {(r["id"], r["rank_units"])
          for r in pagerank_int(df.coalesce(1), iters=4).collect()}
     assert a == b
+
+
+def test_pagerank_priors_flip_a_linking_tie(spark):
+    """End-to-end tie-in with link_mentions: two entities share a
+    surface form and have identical context cosine (same profile
+    text); the one that is central in the alias graph must win."""
+    from pyspark.sql import functions as F
+
+    from edgar_finance_ontology_spark.operators.linking import (
+        link_mentions, pagerank_priors,
+    )
+
+    # entity 10 is the hub of the alias graph; entity 20 is peripheral
+    edges = [(10, n) for n in (30, 40, 50, 60)] + [(20, 30)]
+    priors = pagerank_priors(
+        spark.createDataFrame(edges, "src long, dst long"))
+    p = {r["entity_id"]: r["prior"] for r in priors.collect()}
+    assert p[10] == 1.0 and p[20] < p[10]
+
+    mentions = spark.createDataFrame(
+        [(1, "alpha systems reported revenue", "alpha systems")],
+        "mention_id long, context_text string, surface string")
+    profiles = spark.createDataFrame(
+        [(10, "alpha systems reported revenue"),
+         (20, "alpha systems reported revenue")],
+        "entity_id long, profile_text string")
+    cands = spark.createDataFrame(
+        [("alpha systems", 10), ("alpha systems", 20)],
+        "surface string, entity_id long").join(
+        F.broadcast(priors), "entity_id").select(
+        "surface", "entity_id", "prior")
+    out = link_mentions(mentions, profiles, cands).orderBy("rank").collect()
+    assert out[0]["entity_id"] == 10 and out[0]["rank"] == 1
