@@ -61,7 +61,7 @@ BENCH_QUERIES = [
     "near_dup_decontaminate", "bm25_topk", "quality_classifier",
     "temperature_mix", "substring_dup_stats", "trim_dup_spans",
     "semdedup", "dsir_select", "cluster_balanced_sample",
-    "pagerank_neardup", "hll_distinct", "kmv_overlap",
+    "pagerank_neardup", "hll_distinct", "kmv_overlap", "hist_quantiles",
 ]
 
 

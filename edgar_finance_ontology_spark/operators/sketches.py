@@ -168,3 +168,76 @@ def kmv_pairwise_jaccard(df: DataFrame, value_col: str, set_col: str,
             .alias("kmv_jaccard"),
         )
     )
+
+
+def histogram_quantiles(df: DataFrame, value_col: str,
+                        group_cols: list[str] | None = None,
+                        lo: float = 0.0, hi: float = 1.0,
+                        n_buckets: int = 1024,
+                        quantiles: tuple[float, ...] = (0.5, 0.95),
+                        ) -> DataFrame:
+    """Fixed-width-histogram quantile sketch — the O(B)-memory
+    companion to `exact_group_stats` (exact_stats.py), for when a
+    range sort over 10^12 rows per group is not worth the answer:
+    per group, bucket counts over [lo, hi) (B = `n_buckets` equal
+    bins, underflow clamps to bin 0, overflow to bin B−1), then each
+    requested quantile q is answered with the UPPER EDGE of the first
+    bucket whose cumulative count reaches ceil(q·n). The error bound
+    is explicit and data-independent: one bucket width
+    (hi−lo)/B — no probabilistic failure mode, unlike mergeable
+    rank sketches.
+
+    Engine portability: bucket index floor((v−lo)·B/(hi−lo)) uses one
+    correctly-rounded subtract/multiply/divide chain — identical
+    input doubles give identical buckets except within 1 ulp of a
+    bucket edge (measure-zero for real data, and an edge flip moves
+    the estimate by ≤ one bucket = the stated error). Everything
+    downstream is integer counts.
+
+    100-TB posture: ONE map-side-combined (group, bucket) count — at
+    most B rows per group cross the shuffle — then a bounded rollup
+    via a per-group sorted-array fold. `lo`/`hi` come from the
+    caller's domain knowledge or one cheap min/max agg."""
+    group_cols = group_cols or []
+    width = (hi - lo) / n_buckets
+    v = F.col(value_col).cast("double")
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((v - F.lit(float(lo))) / F.lit(float(width)))
+            .cast("int"),
+        ),
+    )
+    counts = (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols, bucket.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    # bounded per-group rollup: collect the ≤B (bucket, c) pairs into
+    # a sorted array and walk the CDF with an aggregate fold per
+    # requested quantile — no second shuffle, no window
+    rolled = counts.groupBy(*group_cols).agg(
+        F.sum("c").alias("n"),
+        F.sort_array(
+            F.collect_list(F.struct("bucket", "c"))
+        ).alias("h"),
+    )
+    cols = list(group_cols) + [F.col("n").cast("long").alias("n_rows")]
+    for q in quantiles:
+        # rank = ceil(q*n) clamped to >= 1; fold state = (seen, edge)
+        rank = F.greatest(F.lit(1), F.ceil(F.lit(float(q)) * F.col("n")))
+        picked = F.aggregate(
+            F.col("h"),
+            F.struct(F.lit(0).cast("long").alias("seen"),
+                     F.lit(-1).alias("bkt")),
+            lambda acc, e: F.struct(
+                (acc["seen"] + e["c"]).alias("seen"),
+                F.when((acc["bkt"] < 0) & (acc["seen"] + e["c"] >= rank),
+                       e["bucket"]).otherwise(acc["bkt"]).alias("bkt"),
+            ),
+        )["bkt"]
+        est = F.lit(float(lo)) + (picked + 1) * F.lit(float(width))
+        name = f"p{int(round(q * 100))}"
+        cols.append(F.round(est, 6).alias(name))
+    return rolled.select(*cols)

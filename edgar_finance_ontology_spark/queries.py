@@ -1333,6 +1333,44 @@ JOIN fin f USING (flag) ORDER BY flag
 """
 
 
+def q_hist_quantiles(spark, sf):
+    """Histogram quantile sketch (B=1024 over [0, 120000), error ≤
+    one bucket = 117.1875): p50/p95 of l_extendedprice per returnflag
+    — the O(B)-memory answer where a 10^12-row range sort isn't worth
+    it; `grouping_sets_benchmarks` keeps the exact path."""
+    from .operators.sketches import histogram_quantiles
+
+    li = _t(spark, sf, "lineitem")
+    return histogram_quantiles(
+        li, "l_extendedprice", ["l_returnflag"],
+        lo=0.0, hi=120000.0, n_buckets=1024, quantiles=(0.5, 0.95),
+    ).withColumnRenamed("l_returnflag", "flag").orderBy("flag")
+
+
+SQL_HIST_Q = """
+WITH base AS (
+  SELECT l_returnflag AS flag, CAST(l_extendedprice AS DOUBLE) AS v
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+b AS (
+  SELECT flag,
+         least(1023, greatest(0, floor((v - 0.0) / 117.1875)::INT))
+           AS bucket
+  FROM base),
+c AS (SELECT flag, bucket, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+w AS (
+  SELECT flag, bucket, c,
+         sum(c) OVER (PARTITION BY flag ORDER BY bucket) AS cum,
+         sum(c) OVER (PARTITION BY flag) AS n
+  FROM c)
+SELECT flag, max(n)::BIGINT AS n_rows,
+       round(0.0 + (min(CASE WHEN cum >= greatest(1, ceil(0.5 * n))
+                             THEN bucket END) + 1) * 117.1875, 6) AS p50,
+       round(0.0 + (min(CASE WHEN cum >= greatest(1, ceil(0.95 * n))
+                             THEN bucket END) + 1) * 117.1875, 6) AS p95
+FROM w GROUP BY flag ORDER BY flag
+"""
+
+
 def q_kmv_overlap(spark, sf):
     """KMV-sketch cross-source vocabulary overlap: estimated token
     Jaccard between every source pair from 256-row sketches — the
@@ -2259,6 +2297,7 @@ QUERIES = {
     "pagerank_neardup": (q_pagerank_neardup, SQL_PAGERANK),
     "hll_distinct": (q_hll_distinct, SQL_HLL),
     "kmv_overlap": (q_kmv_overlap, SQL_KMV),
+    "hist_quantiles": (q_hist_quantiles, SQL_HIST_Q),
     "dedup_keep_best": (q_dedup_keep_best, SQL_KEEP_BEST),
     "global_topk": (q_global_topk, SQL_GLOBAL_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),

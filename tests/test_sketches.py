@@ -70,3 +70,37 @@ def test_kmv_small_sets_exact(spark):
     r = kmv_pairwise_jaccard(df, "v", "s", k=256).first()
     assert r["n_merged"] == 20 and r["n_both"] == 5
     assert r["kmv_jaccard"] == 0.25
+
+
+def test_histogram_quantiles_uniform_and_clamp(spark):
+    from edgar_finance_ontology_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    n = 10_000
+    df = spark.range(n).select((F.col("id") / n).alias("v"))
+    r = histogram_quantiles(df, "v", lo=0.0, hi=1.0, n_buckets=100,
+                            quantiles=(0.5, 0.95)).first()
+    assert r["n_rows"] == n
+    assert abs(r["p50"] - 0.5) <= 0.01 + 1e-9   # one bucket width
+    assert abs(r["p95"] - 0.95) <= 0.01 + 1e-9
+    # out-of-range values clamp to edge buckets, never vanish
+    oob = spark.createDataFrame([(-5.0,), (99.0,)], "v double")
+    r2 = histogram_quantiles(oob, "v", lo=0.0, hi=1.0, n_buckets=10,
+                             quantiles=(0.5,)).first()
+    assert r2["n_rows"] == 2 and 0.0 < r2["p50"] <= 1.0
+
+
+def test_histogram_quantiles_grouped_invariant(spark):
+    from edgar_finance_ontology_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    df = spark.range(6000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") / 6000.0).alias("v"))
+    a = {tuple(r) for r in histogram_quantiles(
+        df.repartition(7), "v", ["g"], 0.0, 1.0, 64).collect()}
+    b = {tuple(r) for r in histogram_quantiles(
+        df.coalesce(1), "v", ["g"], 0.0, 1.0, 64).collect()}
+    assert a == b and len(a) == 3
