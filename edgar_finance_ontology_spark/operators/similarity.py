@@ -456,8 +456,8 @@ def semdedup(
 
     Plan shape: pair space is cell-restricted (the trained coarse
     quantizer bounds it — never n^2 across cells, the same posture as
-    ann_ivf_multiprobe); components run on the salted
-    pointer-jumping connected-components kernel; the keep policy is
+    ann_ivf_multiprobe); components run on the
+    alternating-star connected-components kernel; the keep policy is
     one window keyed by cluster_id (bounded groups). All cosine
     arithmetic is the sequential-fold form that DuckDB's list_sum
     replays bit-for-bit, so the keep ORDERING is engine-portable —

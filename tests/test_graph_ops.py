@@ -46,8 +46,8 @@ def test_connected_components_basic_and_skewed(spark):
 
 
 def test_connected_components_long_chain_converges_in_log_rounds(spark):
-    """Pointer jumping must give O(log L) convergence: a 64-edge chain
-    within ~log2(64)+3 rounds (plain min-propagation would need 64)."""
+    """The alternating-star kernel must converge in O(log^2 L) rounds:
+    a 64-edge chain within 9 rounds (plain min-propagation needs 64)."""
     from edgar_finance_ontology_spark.operators.canonicalize import (
         connected_components,
     )
@@ -58,6 +58,32 @@ def test_connected_components_long_chain_converges_in_log_rounds(spark):
     assert got.select("component").distinct().count() == 1
     assert got.agg(F.min("component")).collect()[0][0] == 0
     assert got.count() == 65
+
+
+def test_connected_components_shuffled_id_chain(spark):
+    """Regression: ids placed RANDOMLY on the topology (content-hash
+    doc ids on a similarity graph — the real case). The old min-label
+    + single-pointer-jump kernel was O(diameter) here (>22 rounds on
+    this graph, 20 on the sf0.1 near-dup graph); the alternating-star
+    kernel must stay logarithmic AND agree with union-find."""
+    import random
+
+    from edgar_finance_ontology_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    rng = random.Random(42)
+    n = 120
+    perm = list(range(n))
+    rng.shuffle(perm)
+    edges = [(f"v{perm[i]:04d}", f"v{perm[i + 1]:04d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, max_iter=10).collect()
+    }
+    exp = _expected_components(edges)
+    assert got == exp
 
 
 def test_link_mentions_tfidf_prior(spark):
