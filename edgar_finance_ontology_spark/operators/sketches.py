@@ -47,21 +47,33 @@ def _hll_idx_rho(value: Column, p: int) -> tuple[Column, Column]:
     return idx, rho
 
 
-def hll_distinct(df: DataFrame, value_col: str,
-                 group_cols: list[str] | None = None,
-                 p: int = 12) -> DataFrame:
-    """-> per group: (…group_cols, n_registers_hit, hll_estimate)
-    where hll_estimate is rounded to 3dp. NULL values are ignored
-    (SQL COUNT(DISTINCT ...) semantics)."""
+def hll_registers(df: DataFrame, value_col: str,
+                  group_cols: list[str] | None = None,
+                  p: int = 12) -> DataFrame:
+    """(…group_cols, idx, M) — the per-group register table, max-
+    aggregated. This IS the sketch state: registers of two data
+    slices MERGE by max, which is associative / commutative /
+    idempotent — the property that makes the sketch shuffle-safe,
+    incrementally maintainable, and replay-tolerant (an append-only
+    register log max-folds to the same state no matter how often a
+    batch is re-delivered; see streaming/sketch_stream.py)."""
     group_cols = group_cols or []
-    m = 1 << p
     idx, rho = _hll_idx_rho(F.col(value_col), p)
     base = df.where(F.col(value_col).isNotNull())
-    regs = (
+    return (
         base.select(*group_cols, idx.alias("idx"), rho.alias("rho"))
         .groupBy(*group_cols, "idx")
         .agg(F.max("rho").alias("M"))
     )
+
+
+def hll_estimate_from_registers(regs: DataFrame,
+                                group_cols: list[str] | None = None,
+                                p: int = 12) -> DataFrame:
+    """Finish a register table (possibly the max-merge of many
+    slices) into (…group_cols, n_registers_hit, hll_estimate)."""
+    group_cols = group_cols or []
+    m = 1 << p
     # Σ 2^(33-M): exact integer-valued double sum (see module doc)
     stats = regs.groupBy(*group_cols).agg(
         F.count("*").cast("long").alias("n_hit"),
@@ -83,6 +95,17 @@ def hll_distinct(df: DataFrame, value_col: str,
         *group_cols,
         F.col("n_hit").cast("int").alias("n_registers_hit"),
         F.round(est, 3).alias("hll_estimate"),
+    )
+
+
+def hll_distinct(df: DataFrame, value_col: str,
+                 group_cols: list[str] | None = None,
+                 p: int = 12) -> DataFrame:
+    """-> per group: (…group_cols, n_registers_hit, hll_estimate)
+    where hll_estimate is rounded to 3dp. NULL values are ignored
+    (SQL COUNT(DISTINCT ...) semantics)."""
+    return hll_estimate_from_registers(
+        hll_registers(df, value_col, group_cols, p), group_cols, p
     )
 
 
