@@ -155,6 +155,31 @@ def kmv_pairwise_jaccard(df: DataFrame, value_col: str, set_col: str,
 
     Output: (set_a, set_b, n_merged, n_both, kmv_jaccard 6dp)."""
     sk = kmv_sketch(df, value_col, set_col, k).cache()
+    return kmv_jaccard_from_sketch(sk, k)
+
+
+def kmv_merge(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Fold a union of per-set sketch rows (possibly many generations
+    of the same sets) back into one k-min sketch per set. Merge is
+    set-union → k smallest: associative, commutative, IDEMPOTENT
+    (duplicate (set, value) rows collapse before the top-k), so an
+    append-only sketch log folds to the same state no matter how often
+    a batch is re-delivered — the same replay-tolerance contract as
+    the HLL register log (see streaming/sketch_stream.py)."""
+    distinct = sketches.select("set", "frac", "value").distinct()
+    w = Window.partitionBy("set").orderBy(
+        F.col("frac").asc(), F.col("value").asc()
+    )
+    return (
+        distinct.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select("set", "frac", "value", F.col("pos").cast("int").alias("pos"))
+    )
+
+
+def kmv_jaccard_from_sketch(sk: DataFrame, k: int = 256) -> DataFrame:
+    """Pairwise-Jaccard finisher over an already-built sketch table
+    (rows (set, frac, value[, pos]))."""
     # unordered set pairs — a bounded K×K cross over set LABELS only
     pairs = (
         sk.select(F.col("set").alias("set_a")).distinct()
@@ -221,6 +246,23 @@ def histogram_quantiles(df: DataFrame, value_col: str,
     most B rows per group cross the shuffle — then a bounded rollup
     via a per-group sorted-array fold. `lo`/`hi` come from the
     caller's domain knowledge or one cheap min/max agg."""
+    counts = histogram_counts(df, value_col, group_cols, lo, hi,
+                              n_buckets)
+    return histogram_quantiles_from_counts(
+        counts, group_cols, lo, hi, n_buckets, quantiles
+    )
+
+
+def histogram_counts(df: DataFrame, value_col: str,
+                     group_cols: list[str] | None = None,
+                     lo: float = 0.0, hi: float = 1.0,
+                     n_buckets: int = 1024) -> DataFrame:
+    """(…group_cols, bucket, c) — the per-group bucket-count table.
+    This is the sketch state; two slices MERGE by per-bucket SUM.
+    Unlike HLL registers / KMV min-sets, sum-merge is NOT idempotent —
+    a re-delivered batch double-counts — so the streaming log for this
+    sketch must carry batch identity and dedup before folding (see
+    stream_hist_counts in streaming/sketch_stream.py)."""
     group_cols = group_cols or []
     width = (hi - lo) / n_buckets
     v = F.col(value_col).cast("double")
@@ -232,11 +274,25 @@ def histogram_quantiles(df: DataFrame, value_col: str,
             .cast("int"),
         ),
     )
-    counts = (
+    return (
         df.where(v.isNotNull())
         .groupBy(*group_cols, bucket.alias("bucket"))
         .agg(F.count("*").cast("long").alias("c"))
     )
+
+
+def histogram_quantiles_from_counts(
+    counts: DataFrame,
+    group_cols: list[str] | None = None,
+    lo: float = 0.0, hi: float = 1.0,
+    n_buckets: int = 1024,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Finish a bucket-count table (possibly the sum-merge of many
+    slices — caller is responsible for merge semantics) into per-group
+    quantile estimates."""
+    group_cols = group_cols or []
+    width = (hi - lo) / n_buckets
     # bounded per-group rollup: collect the ≤B (bucket, c) pairs into
     # a sorted array and walk the CDF with an aggregate fold per
     # requested quantile — no second shuffle, no window

@@ -1,11 +1,12 @@
-"""Streaming HLL maintenance (streaming/sketch_stream.py): the
-mergeable-sketch property as an exactly-correct rolling-crawl counter.
+"""Streaming sketch maintenance (streaming/sketch_stream.py): the
+mergeable-sketch property as exactly-correct rolling-crawl statistics.
 
-What is under test is the CLAIM in the module doc: because register
-max-merge is associative/commutative/IDEMPOTENT, an append-only
-register log + at-least-once file delivery composes to the exact same
-estimate as the batch sketch over everything ever streamed — no
-transactional sink, and replays/compaction change nothing.
+What is under test is the CLAIM in the module doc: the idempotent
+folds (HLL max-merge, KMV min-k union) make an append-only log +
+at-least-once file delivery compose to the exact batch result with no
+transactional sink — replays and compaction change nothing; and the
+NON-idempotent histogram sum-merge gets the same guarantee from
+batch-id dedup instead.
 """
 
 from __future__ import annotations
@@ -14,11 +15,21 @@ import os
 
 from pyspark.sql import functions as F
 
-from edgar_finance_ontology_spark.operators.sketches import hll_distinct
+from edgar_finance_ontology_spark.operators.sketches import (
+    hll_distinct,
+    histogram_quantiles,
+    kmv_pairwise_jaccard,
+)
 from edgar_finance_ontology_spark.streaming.sketch_stream import (
+    compact_hist_store,
     compact_hll_store,
+    compact_kmv_store,
+    read_hist_quantiles,
     read_hll_estimates,
+    read_kmv_jaccard,
+    stream_hist_counts,
     stream_hll_distinct,
+    stream_kmv_sketch,
 )
 
 SCHEMA = "grp string, v long"
@@ -118,3 +129,122 @@ def test_compaction_is_pure_space_reclamation(spark, tmp_path):
     assert kept < raw_rows  # generations actually folded
     assert _estimates(spark, store) == before
     assert not os.path.exists(store + ".compact")  # temp generation gone
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_kmv_stream_equals_batch_and_replay_is_noop(spark, tmp_path):
+    """Two drains of per-set value files; the folded sketch's pairwise
+    Jaccard must equal the batch estimate over the union, and a
+    re-delivered sketch append must change nothing (min-k set union is
+    idempotent)."""
+    from edgar_finance_ontology_spark.operators.sketches import kmv_sketch
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    k = 64
+
+    def vals(set_name, lo, hi):
+        return spark.range(lo, hi).select(
+            F.lit(set_name).alias("s"), F.concat(F.lit("v"), F.col("id")).alias("v")
+        )
+
+    b1 = vals("a", 0, 800).unionByName(vals("b", 400, 1_200))
+    b1.write.mode("append").parquet(src)
+    q = stream_kmv_sketch(spark, src, store, ckpt, "s string, v string",
+                          "v", "s", k)
+    q.awaitTermination()
+
+    b2 = vals("a", 600, 1_000).unionByName(vals("b", 0, 200))
+    b2.write.mode("append").parquet(src)
+    q = stream_kmv_sketch(spark, src, store, ckpt, "s string, v string",
+                          "v", "s", k)
+    q.awaitTermination()
+
+    everything = b1.unionByName(b2)
+    exp = _rows(kmv_pairwise_jaccard(everything, "v", "s", k))
+    assert _rows(read_kmv_jaccard(spark, store, k)) == exp
+
+    # crash-replay: the same batch's sketch rows appended again
+    kmv_sketch(b2, "v", "s", k).write.mode("append").parquet(store)
+    assert _rows(read_kmv_jaccard(spark, store, k)) == exp
+
+    # compaction: pure space reclamation
+    before_rows = spark.read.parquet(store).count()
+    kept = compact_kmv_store(spark, store, k)
+    assert kept < before_rows
+    assert _rows(read_kmv_jaccard(spark, store, k)) == exp
+
+
+def test_hist_stream_equals_batch_and_batchid_dedups_replay(spark, tmp_path):
+    """Sum-merge is NOT idempotent, so the log carries batch ids and
+    the fold dedups on them: a byte-identical re-append under the same
+    batch_id (= the crash-replay shape) must not double-count, while a
+    genuinely NEW batch must."""
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(lo=0.0, hi=100.0, n_buckets=50, quantiles=(0.5, 0.95))
+
+    def vals(grp, lo, hi):
+        return spark.range(lo, hi).select(
+            F.lit(grp).alias("grp"), (F.col("id") % 100).cast("double").alias("v")
+        )
+
+    b1 = vals("a", 0, 5_000)
+    b1.write.mode("append").parquet(src)
+    q = stream_hist_counts(spark, src, store, ckpt, "grp string, v double",
+                           "v", ["grp"], kw["lo"], kw["hi"], kw["n_buckets"])
+    q.awaitTermination()
+    b2 = vals("a", 5_000, 7_000).unionByName(vals("b", 0, 1_000))
+    b2.write.mode("append").parquet(src)
+    q = stream_hist_counts(spark, src, store, ckpt, "grp string, v double",
+                           "v", ["grp"], kw["lo"], kw["hi"], kw["n_buckets"])
+    q.awaitTermination()
+
+    everything = b1.unionByName(b2)
+    exp = _rows(histogram_quantiles(everything, "v", ["grp"], **kw))
+    got = _rows(read_hist_quantiles(spark, store, ["grp"], kw["lo"],
+                                    kw["hi"], kw["n_buckets"], kw["quantiles"]))
+    assert got == exp
+
+    # crash-replay: batch 1's count rows re-appended under batch_id 1
+    from edgar_finance_ontology_spark.operators.sketches import (
+        histogram_counts,
+    )
+    replay = histogram_counts(b2, "v", ["grp"], kw["lo"], kw["hi"],
+                              kw["n_buckets"]) \
+        .withColumn("batch_id", F.lit(1).cast("long"))
+    replay.write.mode("append").parquet(store)
+    got = _rows(read_hist_quantiles(spark, store, ["grp"], kw["lo"],
+                                    kw["hi"], kw["n_buckets"], kw["quantiles"]))
+    assert got == exp
+
+    # exact-count sanity straight off the fold: every row counted once
+    from edgar_finance_ontology_spark.streaming.sketch_stream import (
+        _merged_hist_counts,
+    )
+    total = _merged_hist_counts(spark, store, ["grp"]) \
+        .agg(F.sum("c")).collect()[0][0]
+    assert total == everything.count()
+
+    # compaction folds to one generation; estimates unchanged and a
+    # post-compaction batch keeps composing
+    kept = compact_hist_store(spark, store, ["grp"])
+    assert kept == spark.read.parquet(store).count()
+    got = _rows(read_hist_quantiles(spark, store, ["grp"], kw["lo"],
+                                    kw["hi"], kw["n_buckets"], kw["quantiles"]))
+    assert got == exp
+    b3 = vals("b", 1_000, 3_000)
+    b3.write.mode("append").parquet(src)
+    q = stream_hist_counts(spark, src, store, ckpt, "grp string, v double",
+                           "v", ["grp"], kw["lo"], kw["hi"], kw["n_buckets"])
+    q.awaitTermination()
+    exp3 = _rows(histogram_quantiles(everything.unionByName(b3), "v",
+                                     ["grp"], **kw))
+    got3 = _rows(read_hist_quantiles(spark, store, ["grp"], kw["lo"],
+                                     kw["hi"], kw["n_buckets"], kw["quantiles"]))
+    assert got3 == exp3
