@@ -95,10 +95,18 @@ def connected_components(
     max_iter: int = 25,
     checkpoint_every: int = 1,
     salt_buckets: int = 1,
+    verify_forest: bool = False,
 ) -> DataFrame:
     """-> (id, component) where component = min vertex id reachable.
 
     Vertex ids must be orderable (string or numeric).
+
+    `verify_forest` adds one deterministic post-convergence check (a
+    semi-join) asserting the fixpoint really is a two-level star
+    forest — no label appears on both sides of an edge. The signature
+    convergence test is probabilistic (hash-sum equality); this turns
+    a silent collision into a loud error for callers that want the
+    guarantee at the cost of one extra job.
     """
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
@@ -160,6 +168,17 @@ def connected_components(
         )
     # fixpoint e is a star forest (v → component root); roots and
     # edge-isolated vertices label themselves
+    if verify_forest:
+        non_roots = e.select("u")
+        deep = e.join(
+            non_roots.withColumnRenamed("u", "v"), "v", "left_semi"
+        ).limit(1).count()
+        if deep:
+            raise RuntimeError(
+                "connected_components: signature convergence fired on a "
+                "non-star edge set (hash collision) — rerun or raise "
+                "max_iter"
+            )
     return verts.join(
         e.select(F.col("u").alias("id"), F.col("v").alias("root")), "id", "left"
     ).select("id", F.coalesce("root", "id").alias("component"))

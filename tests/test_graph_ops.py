@@ -174,3 +174,66 @@ def test_predicate_classification_schema_driven(spark):
     for r in joined.collect():
         assert any(p == r["pred"] and d == "efin:Company"
                    and g == "efin:Sector" for p, d, g in sch)
+
+
+def test_connected_components_random_graph_fuzz(spark):
+    """Seeded random-graph sweep vs the union-find oracle, with the
+    deterministic star-forest post-check on (verify_forest=True):
+    sparse Erdos-Renyi, hubby preferential-attachment, and a
+    chains+stars mix, across string and int id types."""
+    import random
+
+    from edgar_finance_ontology_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    rng = random.Random(20260817)
+
+    def er(n, m):
+        return [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(m)
+        ]
+
+    def hubby(n, m):
+        # preferential-ish: half the endpoints drawn from a small head
+        return [
+            (rng.randrange(n // 10 or 1), rng.randrange(n))
+            for _ in range(m)
+        ]
+
+    def chains_and_stars(n):
+        edges = []
+        ids = list(range(n))
+        rng.shuffle(ids)
+        third = n // 3
+        for i in range(third - 1):          # one long shuffled chain
+            edges.append((ids[i], ids[i + 1]))
+        hub = ids[third]
+        for v in ids[third + 1: 2 * third]:  # one star
+            edges.append((hub, v))
+        for i in range(2 * third, n - 1, 2):  # pair soup
+            edges.append((ids[i], ids[i + 1]))
+        return edges
+
+    cases = [
+        ("er_sparse", er(200, 150), "int"),
+        ("er_denser", er(120, 300), "int"),
+        ("hubby", hubby(200, 250), "int"),
+        ("mix", chains_and_stars(180), "str"),
+    ]
+    for name, edges, typ in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        if typ == "str":
+            edges = [(f"n{a:05d}", f"n{b:05d}") for a, b in edges]
+            schema = "src string, dst string"
+        else:
+            schema = "src int, dst int"
+        df = spark.createDataFrame(edges, schema)
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                df, max_iter=15, verify_forest=True
+            ).collect()
+        }
+        assert got == _expected_components(edges), name
