@@ -446,11 +446,14 @@ _STDOUT_LINE_BUDGET = 1800
 def compact_record(out: dict) -> dict:
     """Slim the full bench record to a stdout-line-sized summary.
 
-    Keeps the complete per-query seconds map (the driver's documented
-    shape) but flattens kg / cq_catalog / scaling to scalars; the full
-    nested detail lives in BENCH_LOCAL.json. Pure function so
-    tests/test_bench_record.py can assert the serialized length against
-    _STDOUT_LINE_BUDGET on a representative record.
+    The per-query map is DETERMINISTICALLY the 5 slowest (plus the
+    query count and total seconds) — a fixed shape that fits the
+    driver's 2000-char tail capture at any realistic width, instead of
+    a width-dependent full-map-or-fallback whose shape flips as the
+    query list grows (rounds 3 and 4 both shipped unparseable records
+    that way). The full map lives in BENCH_LOCAL.json. Pure function
+    so tests/test_bench_record.py can assert the serialized length
+    against _STDOUT_LINE_BUDGET on a worst-width record.
     """
     kg = out.get("kg", {})
     cq = kg.get("cq_catalog", {})
@@ -459,7 +462,12 @@ def compact_record(out: dict) -> dict:
         "metric": out["metric"],
         "value": out["value"],
         "unit": out["unit"],
-        "queries": {k: round(v, 2) for k, v in out["queries"].items()},
+        "n_queries": len(out["queries"]),
+        "queries_slowest5": {
+            k: round(out["queries"][k], 2)
+            for k in sorted(out["queries"], key=out["queries"].get,
+                            reverse=True)[:5]
+        },
         "sf": out["sf"],
         "total_query_sec": round(out["total_query_sec"], 2),
         "kg": {
@@ -479,15 +487,6 @@ def compact_record(out: dict) -> dict:
                 scaling.get("max_threads", {}).get("efficiency"),
         },
     }
-    line = json.dumps(compact)
-    if len(line) > _STDOUT_LINE_BUDGET:
-        # belt-and-braces: should never trigger (unit-tested), but if a
-        # future round grows the query list past the budget, degrade to
-        # the 5 slowest instead of shipping an unparseable record again
-        slow = sorted(compact["queries"], key=compact["queries"].get,
-                      reverse=True)[:5]
-        compact["queries"] = {k: compact["queries"][k] for k in slow}
-        compact["queries_truncated_to_slowest"] = 5
     return compact
 
 

@@ -49,10 +49,10 @@ def _synthetic_record():
 def test_bench_line_fits_synthetic_worst_case():
     line = _line(_synthetic_record())
     assert len(line) < bench._STDOUT_LINE_BUDGET, len(line)
-    # and the full query map survived (no fallback truncation fired)
+    # deterministic shape: exactly the 5 slowest + the full count
     parsed = json.loads(line)
-    assert set(parsed["queries"]) == set(bench.BENCH_QUERIES)
-    assert "queries_truncated_to_slowest" not in parsed
+    assert len(parsed["queries_slowest5"]) == 5
+    assert parsed["n_queries"] == len(bench.BENCH_QUERIES)
 
 
 def test_bench_line_fits_shipped_record():
@@ -76,9 +76,11 @@ def test_bench_line_is_parseable_json():
     assert parsed["kg"]["cq_wall_sec"] == 99999.999
 
 
-def test_fallback_truncation_still_under_budget():
+def test_line_budget_is_query_count_independent():
     rec = _synthetic_record()
-    # 200 fat queries blows the primary budget -> slowest-5 fallback
+    # 200 fat queries must not change the line shape or budget —
+    # rounds 3 and 4 shipped unparseable records because the line
+    # width tracked the query count
     rec["queries"] = {
         f"extremely_long_query_name_number_{i:04d}": 99999.999
         for i in range(200)
@@ -86,5 +88,5 @@ def test_fallback_truncation_still_under_budget():
     line = _line(rec)
     assert len(line) < bench._STDOUT_LINE_BUDGET, len(line)
     parsed = json.loads(line)
-    assert parsed["queries_truncated_to_slowest"] == 5
-    assert len(parsed["queries"]) == 5
+    assert len(parsed["queries_slowest5"]) == 5
+    assert parsed["n_queries"] == 200
