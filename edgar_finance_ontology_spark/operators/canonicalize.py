@@ -88,6 +88,38 @@ def _signature(e: DataFrame) -> tuple:
     return (row["n"], row["h_uv"], row["h_vu"])
 
 
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Exact solve of a SMALL (≤ driver_cap, caller-enforced) edge set
+    on the driver: min-id union-find with path compression. Returns
+    the same (id, component = min reachable id) frame as the
+    distributed kernel — the routing is a physical choice only."""
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        ra, rb = find(r["u"]), find(r["v"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = sorted({v for r in rows for v in (r["u"], r["v"])})
+    typ = e.schema["u"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([StructField("id", typ, False),
+                         StructField("component", typ, False)])
+    return e.sparkSession.createDataFrame(
+        [(v, find(v)) for v in out], schema
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -96,6 +128,7 @@ def connected_components(
     checkpoint_every: int = 1,
     salt_buckets: int = 1,
     verify_forest: bool = False,
+    driver_cap: int = 100_000,
 ) -> DataFrame:
     """-> (id, component) where component = min vertex id reachable.
 
@@ -107,6 +140,17 @@ def connected_components(
     convergence test is probabilistic (hash-sum equality); this turns
     a silent collision into a loud error for callers that want the
     guarantee at the cost of one extra job.
+
+    `driver_cap`: edge sets at or below this row count are solved by
+    an exact driver-side union-find instead of the iterative star
+    rounds — the same explicit smaller-than-this-is-local routing as a
+    broadcast-join threshold, and the same result bit-for-bit. A
+    near-dup pair graph is usually TINY relative to its corpus (the
+    df-cap/banding pruning upstream exists to make it so); the star
+    loop costs ~4 jobs × ~5 rounds of scheduler latency regardless of
+    data size, which dominates end-to-end wall below ~10^5 edges
+    (measured: 258-edge sf0.1 graph, 3.5s loop vs 0.1s solve). Set 0
+    to force the distributed kernel.
     """
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
@@ -123,6 +167,8 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if e.count() <= driver_cap:
+        return _driver_union_find(e)
     verts = (
         e.select(F.col("u").alias("id"))
         .unionByName(e.select(F.col("v").alias("id")))

@@ -39,7 +39,7 @@ def test_connected_components_basic_and_skewed(spark):
     df = spark.createDataFrame(edges, "src int, dst int")
     got = {
         r["id"]: r["component"]
-        for r in connected_components(df, salt_buckets=4).collect()
+        for r in connected_components(df, salt_buckets=4, driver_cap=0).collect()
     }
     exp = _expected_components(edges)
     assert got == exp
@@ -54,7 +54,7 @@ def test_connected_components_long_chain_converges_in_log_rounds(spark):
 
     edges = [(i, i + 1) for i in range(64)]
     df = spark.createDataFrame(edges, "src int, dst int")
-    got = connected_components(df, max_iter=9)
+    got = connected_components(df, max_iter=9, driver_cap=0)
     assert got.select("component").distinct().count() == 1
     assert got.agg(F.min("component")).collect()[0][0] == 0
     assert got.count() == 65
@@ -80,7 +80,7 @@ def test_connected_components_shuffled_id_chain(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {
         r["id"]: r["component"]
-        for r in connected_components(df, max_iter=10).collect()
+        for r in connected_components(df, max_iter=10, driver_cap=0).collect()
     }
     exp = _expected_components(edges)
     assert got == exp
@@ -233,7 +233,45 @@ def test_connected_components_random_graph_fuzz(spark):
         got = {
             r["id"]: r["component"]
             for r in connected_components(
-                df, max_iter=15, verify_forest=True
+                df, max_iter=15, verify_forest=True, driver_cap=0
             ).collect()
         }
         assert got == _expected_components(edges), name
+
+
+def test_connected_components_driver_path_routing_and_equality(spark):
+    """The small-graph driver union-find is a PHYSICAL routing choice:
+    same (id, component) rows as the distributed star kernel on both
+    sides of the cap, and the cap actually routes (the driver path
+    runs zero star rounds, so convergence limits can't fire)."""
+    import random
+
+    from edgar_finance_ontology_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(150), rng.randrange(150)) for _ in range(220)]
+    edges += [(f := 1000 + i, f + 1) for i in range(30)]  # a chain too
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src int, dst int")
+
+    dist = sorted(
+        tuple(r) for r in connected_components(df, driver_cap=0).collect()
+    )
+    drv = sorted(
+        tuple(r)
+        # cap above the edge count -> driver path; max_iter=0 proves no
+        # star round ran (the distributed loop would raise)
+        for r in connected_components(df, driver_cap=10**6,
+                                      max_iter=0).collect()
+    )
+    assert drv == dist
+    assert dist == sorted(_expected_components(edges).items())
+
+    # string ids keep their type through the driver path
+    sdf = spark.createDataFrame(
+        [(f"d{a:04d}", f"d{b:04d}") for a, b in edges], "src string, dst string"
+    )
+    out = connected_components(sdf, driver_cap=10**6, max_iter=0)
+    assert dict(out.dtypes) == {"id": "string", "component": "string"}
