@@ -113,6 +113,94 @@ def quality_scores(df: DataFrame, text_col: str = "text",
     )
 
 
+# required-stopword set for the Gopher rule (Rae et al. 2021, App. A)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+    """Per-rule Gopher quality flags (Rae et al. 2021, Appendix A).
+
+    Rules, each a 0/1 column (1 = the document passes the rule):
+      r_word_count     min_words <= |words| <= max_words
+      r_mean_word_len  3 <= mean word length <= 10
+      r_symbol_ratio   (#'#' + #'...') / |words| <= 0.1
+      r_bullet_lines   <= 90% of lines start with a bullet (- * •)
+      r_ellipsis_lines <= 30% of lines end with ... or …
+      r_alpha_words    >= 80% of words contain an alphabetic char
+      r_stopwords      >= 2 of the 8 required stopwords occur as words
+    plus `gopher_pass` = AND of all seven. Every threshold compares
+    cross-multiplied INTEGERS (e.g. 5*n_alpha >= 4*n_words), never a
+    float ratio, so the DuckDB twin replays bit-for-bit and no engine's
+    rounding can flip a gate. Reference analog: the validator ladder
+    gating observations (select_xbrl_tags.py:740-820) is the same
+    per-row multi-rule keep/drop shape over facts instead of web text.
+
+    Scale: pure per-row map (split/filter/aggregate HOFs, no UDF, no
+    shuffle) — the filter runs inside whole-stage codegen next to the
+    scan at any corpus size.
+    """
+    text = F.col(text_col)
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+    lower_words = F.transform(words, F.lower)
+    lines = F.split(text, "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    sum_word_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    # replace-count of NON-OVERLAPPING '...' runs (greedy left-to-right
+    # in both engines)
+    n_ell = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / 3
+    n_sym = (n_hash + n_ell).cast("long")
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_bullet = F.size(F.filter(
+        lines,
+        lambda l: F.startswith(F.ltrim(l), F.lit("-"))
+        | F.startswith(F.ltrim(l), F.lit("*"))
+        | F.startswith(F.ltrim(l), F.lit("•")),
+    ))
+    n_ell_lines = F.size(F.filter(
+        lines,
+        lambda l: F.endswith(F.rtrim(l), F.lit("..."))
+        | F.endswith(F.rtrim(l), F.lit("…")),
+    ))
+    n_stop = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        lambda s: F.array_contains(lower_words, s),
+    ))
+
+    def flag(cond):
+        return F.when(cond, 1).otherwise(0)
+
+    r_wc = flag((n_words >= min_words) & (n_words <= max_words))
+    r_mwl = flag((sum_word_len >= 3 * n_words)
+                 & (sum_word_len <= 10 * n_words))
+    r_sym = flag(10 * n_sym <= n_words)
+    r_bul = flag(10 * n_bullet <= 9 * n_lines)
+    r_el = flag(10 * n_ell_lines <= 3 * n_lines)
+    r_al = flag(5 * n_alpha >= 4 * n_words)
+    r_st = flag(n_stop >= 2)
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("long").alias("n_words"),
+        n_lines.cast("long").alias("n_lines"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_bul.alias("r_bullet_lines"),
+        r_el.alias("r_ellipsis_lines"),
+        r_al.alias("r_alpha_words"),
+        r_st.alias("r_stopwords"),
+        (r_wc * r_mwl * r_sym * r_bul * r_el * r_al * r_st)
+        .alias("gopher_pass"),
+    )
+
+
 def unigram_surprisal_scores(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id",
                              vocab_size: int = 50_000) -> DataFrame:

@@ -1025,6 +1025,67 @@ FROM s GROUP BY 1 ORDER BY 1
 """
 
 
+def q_gopher_rules(spark, sf):
+    from .operators.textops import gopher_rules
+
+    d = _t(spark, sf, "documents")
+    return gopher_rules(d).orderBy("id")
+
+
+SQL_GOPHER = r"""
+WITH w AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS words,
+         string_split(text, chr(10)) AS lines,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell
+  FROM documents),
+m AS (
+  SELECT id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+              AS BIGINT) AS sum_word_len,
+         CAST(n_hash + n_ell AS BIGINT) AS n_sym,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(lines, x ->
+              ltrim(x) LIKE '-%' OR ltrim(x) LIKE '*%'
+              OR ltrim(x) LIKE '•%')) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines, x ->
+              rtrim(x) LIKE '%...' OR rtrim(x) LIKE '%…'))
+              AS BIGINT) AS n_ell_lines,
+         CAST(len(list_filter(
+              ['the','be','to','of','and','that','have','with'],
+              s -> list_contains(list_transform(words, x -> lower(x)), s)))
+              AS BIGINT) AS n_stop
+  FROM w),
+r AS (
+  SELECT id, n_words, n_lines,
+         CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END
+             AS r_word_count,
+         CASE WHEN sum_word_len >= 3 * n_words
+                   AND sum_word_len <= 10 * n_words THEN 1 ELSE 0 END
+             AS r_mean_word_len,
+         CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END AS r_symbol_ratio,
+         CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 1 ELSE 0 END
+             AS r_bullet_lines,
+         CASE WHEN 10 * n_ell_lines <= 3 * n_lines THEN 1 ELSE 0 END
+             AS r_ellipsis_lines,
+         CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END
+             AS r_alpha_words,
+         CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stopwords
+  FROM m)
+SELECT id, n_words, n_lines, r_word_count, r_mean_word_len,
+       r_symbol_ratio, r_bullet_lines, r_ellipsis_lines, r_alpha_words,
+       r_stopwords,
+       r_word_count * r_mean_word_len * r_symbol_ratio * r_bullet_lines
+       * r_ellipsis_lines * r_alpha_words * r_stopwords AS gopher_pass
+FROM r ORDER BY id
+"""
+
+
 def q_token_counts(spark, sf):
     from .operators.textops import token_counts
 
@@ -2288,6 +2349,7 @@ QUERIES = {
                                 SQL_CLUSTER_BALANCED),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_scores": (q_quality, SQL_QUALITY),
+    "gopher_rules": (q_gopher_rules, SQL_GOPHER),
     "token_counts": (q_token_counts, SQL_TOKENS),
     "token_counts_bpe": (q_token_counts_bpe, SQL_TOKENS_BPE),
     "unigram_surprisal": (q_unigram_surprisal, SQL_SURPRISAL),

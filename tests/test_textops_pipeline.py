@@ -636,3 +636,46 @@ def test_write_token_shards_layout(spark, tmp_path):
     )
     for sid, t in totals[:-1]:
         assert t >= 5000 - max_doc, (sid, t, max_doc)
+
+
+def test_gopher_rules_semantics(spark):
+    from edgar_finance_ontology_spark.operators.textops import gopher_rules
+
+    prose = ("The results have to be read with care and that is why we "
+             "describe each of the checks in detail below so the reader "
+             "can follow every step of the argument without any doubt "
+             "about what was measured and how it was aggregated here and "
+             "why the same checks then also hold for the larger corpus.")
+    assert len(prose.split()) >= 50
+    docs = [
+        ("ok", prose),
+        ("short", "the be of and that have with to"),       # < 50 words
+        ("symbols", " ".join(["# word"] * 30)),             # 30 '#' / 60 words
+        ("bullets", "\n".join(["- item %d" % i for i in range(10)])),
+        ("ellipsis", "\n".join(["this trails off..."] * 10)),
+        ("numeric", " ".join(str(i) for i in range(60))),   # no alpha words
+        ("nostop", " ".join(["lorem ipsum dolor sit amet"] * 12)),
+        ("longwords", " ".join(["x" * 40] * 60)),           # mwl > 10
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["id"]: r.asDict() for r in gopher_rules(df).collect()}
+
+    assert got["ok"]["gopher_pass"] == 1
+    assert all(v == 1 for k, v in got["ok"].items() if k.startswith("r_"))
+    assert got["short"]["r_word_count"] == 0
+    assert got["symbols"]["r_symbol_ratio"] == 0      # 10*30 > 60
+    assert got["bullets"]["r_bullet_lines"] == 0      # 100% bullet lines
+    assert got["ellipsis"]["r_ellipsis_lines"] == 0   # 100% > 30%
+    assert got["numeric"]["r_alpha_words"] == 0
+    assert got["nostop"]["r_stopwords"] == 0
+    assert got["longwords"]["r_mean_word_len"] == 0
+    for k in ("short", "symbols", "bullets", "ellipsis", "numeric",
+              "nostop", "longwords"):
+        assert got[k]["gopher_pass"] == 0, k
+
+    # integer cross-multiplication boundary: exactly 10% symbols passes
+    edge = spark.createDataFrame(
+        [("edge", "# " + " ".join(["w"] * 9))], "doc_id string, text string"
+    )
+    row = gopher_rules(edge, min_words=1).collect()[0]
+    assert row["r_symbol_ratio"] == 1 and row["n_words"] == 10
