@@ -320,3 +320,90 @@ def histogram_quantiles_from_counts(
         name = f"p{int(round(q * 100))}"
         cols.append(F.round(est, 6).alias(name))
     return rolled.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — bounded-state
+# frequency estimation. Merge algebra = per-cell SUM (associative /
+# commutative), so the cell table shuffles map-side-combined, merges
+# across slices, and maintains incrementally exactly like the HLL
+# register log. Estimates only ever OVER-count (collisions add), with
+# err <= e*n/w at depth confidence 1-(1/e)^d. The 100-TB use: word /
+# url / entity heavy-hitters where an exact groupBy's key cardinality
+# (10^9+) would dwarf the d*w = few-thousand-row sketch — candidates
+# come from a deterministic hash-sample, counts from the sketch, and
+# the full-cardinality shuffle never happens.
+# ---------------------------------------------------------------------------
+
+def _cm_cell(value: Column, depth: Column, w: int) -> Column:
+    h = F.md5(F.concat(depth.cast("string"), F.lit(":"),
+                       value.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % w) \
+        .cast("int")
+
+
+def countmin_cells(df: DataFrame, value_col: str,
+                   group_cols: list[str] | None = None,
+                   w: int = 1024, d: int = 4) -> DataFrame:
+    """(…group_cols, depth, cell, c) — the d×w sketch state. NULLs
+    ignored. ONE map-side-combined aggregation; at most d*w rows per
+    group cross the wire regardless of value cardinality."""
+    group_cols = group_cols or []
+    base = df.where(F.col(value_col).isNotNull())
+    depth = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("depth")
+    expanded = base.select(*group_cols, F.col(value_col).alias("v"), depth)
+    return (
+        expanded
+        .select(*group_cols, "depth",
+                _cm_cell(F.col("v"), F.col("depth"), w).alias("cell"))
+        .groupBy(*group_cols, "depth", "cell")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def countmin_estimate(cells: DataFrame, keys: DataFrame, key_col: str,
+                      group_cols: list[str] | None = None,
+                      w: int = 1024, d: int = 4) -> DataFrame:
+    """Point-estimate each key: min over the d depths of its cell's
+    count (absent cell = 0). `cells` is bounded (d*w rows per group)
+    and broadcast; the key side never shuffles."""
+    group_cols = group_cols or []
+    depth = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("depth")
+    probes = (
+        keys.select(*group_cols, F.col(key_col).alias("k"), depth)
+        .select(*group_cols, "k", "depth",
+                _cm_cell(F.col("k"), F.col("depth"), w).alias("cell"))
+    )
+    joined = probes.join(F.broadcast(cells),
+                         on=[*group_cols, "depth", "cell"], how="left")
+    return (
+        joined.groupBy(*group_cols, "k")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long")))
+             .alias("cm_estimate"))
+        .select(*group_cols, F.col("k").alias(key_col), "cm_estimate")
+    )
+
+
+def countmin_heavy_hitters(df: DataFrame, value_col: str,
+                           min_count: int, w: int = 1024, d: int = 4,
+                           candidate_rate: float = 0.05) -> DataFrame:
+    """Two-pass heavy hitters without a full-cardinality shuffle:
+    candidates = distinct values whose md5 hash-fraction falls under
+    `candidate_rate` (deterministic — same sample on re-run/retry; a
+    value with true count >= min_count misses the sample only with
+    prob (1-rate)^count, negligible for real heavy hitters), counts =
+    count-min estimates. Returns (value, cm_estimate) with
+    cm_estimate >= min_count, over-count-only semantics."""
+    vals = df.where(F.col(value_col).isNotNull()) \
+             .select(F.col(value_col).alias("v"))
+    frac = (
+        F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 8),
+               16, 10).cast("double") / float(0xFFFFFFFF + 1)
+    )
+    candidates = vals.where(frac < candidate_rate).distinct()
+    cells = countmin_cells(vals, "v", w=w, d=d)
+    est = countmin_estimate(cells, candidates, "v", w=w, d=d)
+    return (
+        est.where(F.col("cm_estimate") >= min_count)
+        .select(F.col("v").alias(value_col), "cm_estimate")
+    )

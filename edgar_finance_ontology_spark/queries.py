@@ -1394,6 +1394,55 @@ JOIN fin f USING (flag) ORDER BY flag
 """
 
 
+def q_countmin_words(spark, sf):
+    """Heavy-hitter words via count-min: candidates from a
+    deterministic hash-sample, counts from the d=4 × w=2048 cell
+    table — the full word-cardinality groupBy never happens."""
+    from .operators.dedup import tokens_col
+    from .operators.sketches import countmin_heavy_hitters
+
+    d = _t(spark, sf, "documents")
+    words = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+    )
+    return countmin_heavy_hitters(
+        words, "word", min_count=20, w=2048, d=4, candidate_rate=0.5
+    ).orderBy("word")
+
+
+SQL_COUNTMIN = r"""
+WITH words AS (
+  SELECT x AS v FROM (
+    SELECT unnest(list_filter(
+        regexp_split_to_array(trim(lower(text)), '\s+'),
+        y -> y <> '')) AS x
+    FROM documents)),
+depths AS (SELECT unnest(range(4)) AS depth),
+cells AS (
+  SELECT depth,
+         (('0x' || substr(md5(depth::VARCHAR || ':' || v), 1, 8))::BIGINT
+          % 2048)::INT AS cell,
+         count(*)::BIGINT AS c
+  FROM words, depths GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT v FROM words
+  WHERE ('0x' || substr(md5(v), 1, 8))::BIGINT::DOUBLE
+        / 4294967296.0 < 0.5),
+probes AS (
+  SELECT v, depth,
+         (('0x' || substr(md5(depth::VARCHAR || ':' || v), 1, 8))::BIGINT
+          % 2048)::INT AS cell
+  FROM cand, depths),
+est AS (
+  SELECT p.v, min(coalesce(c.c, 0))::BIGINT AS cm_estimate
+  FROM probes p LEFT JOIN cells c USING (depth, cell)
+  GROUP BY 1)
+SELECT v AS word, cm_estimate FROM est
+WHERE cm_estimate >= 20 ORDER BY word
+"""
+
+
 def q_hist_quantiles(spark, sf):
     """Histogram quantile sketch (B=1024 over [0, 120000), error ≤
     one bucket = 117.1875): p50/p95 of l_extendedprice per returnflag
@@ -2360,6 +2409,7 @@ QUERIES = {
     "hll_distinct": (q_hll_distinct, SQL_HLL),
     "kmv_overlap": (q_kmv_overlap, SQL_KMV),
     "hist_quantiles": (q_hist_quantiles, SQL_HIST_Q),
+    "countmin_words": (q_countmin_words, SQL_COUNTMIN),
     "dedup_keep_best": (q_dedup_keep_best, SQL_KEEP_BEST),
     "global_topk": (q_global_topk, SQL_GLOBAL_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),

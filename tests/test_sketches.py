@@ -104,3 +104,81 @@ def test_histogram_quantiles_grouped_invariant(spark):
     b = {tuple(r) for r in histogram_quantiles(
         df.coalesce(1), "v", ["g"], 0.0, 1.0, 64).collect()}
     assert a == b and len(a) == 3
+
+
+def test_countmin_overestimates_and_small_w_collisions(spark):
+    """Count-min never under-counts: estimate >= exact for every key,
+    even at a tiny width where collisions are guaranteed."""
+    from edgar_finance_ontology_spark.operators.sketches import (
+        countmin_cells, countmin_estimate,
+    )
+    import random
+
+    rng = random.Random(3)
+    vals = [f"k{rng.randrange(40)}" for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    exact = {}
+    for v in vals:
+        exact[v] = exact.get(v, 0) + 1
+    keys = spark.createDataFrame([(k,) for k in exact], "v string")
+
+    for w in (8, 1024):  # w=8 forces collisions among 40 keys
+        cells = countmin_cells(df, "v", w=w, d=4)
+        est = {r["v"]: r["cm_estimate"]
+               for r in countmin_estimate(cells, keys, "v", w=w, d=4)
+               .collect()}
+        assert set(est) == set(exact)
+        for k, n in exact.items():
+            assert est[k] >= n, (w, k)
+    # at the wide setting the min-over-depths is exact for most keys
+    wide = {r["v"]: r["cm_estimate"]
+            for r in countmin_estimate(
+                countmin_cells(df, "v", w=1024, d=4), keys, "v",
+                w=1024, d=4).collect()}
+    assert sum(wide[k] == exact[k] for k in exact) >= len(exact) - 2
+
+
+def test_countmin_merge_algebra_and_partition_invariance(spark):
+    """Cell tables of two slices SUM-merge to the cell table of the
+    union, and the sketch is identical at any partitioning."""
+    from pyspark.sql import functions as F
+
+    from edgar_finance_ontology_spark.operators.sketches import (
+        countmin_cells,
+    )
+
+    a = spark.createDataFrame([(f"x{i % 7}",) for i in range(300)],
+                              "v string")
+    b = spark.createDataFrame([(f"x{i % 11}",) for i in range(200)],
+                              "v string")
+    both = a.unionByName(b)
+
+    merged = (
+        countmin_cells(a, "v", w=64, d=3)
+        .unionByName(countmin_cells(b, "v", w=64, d=3))
+        .groupBy("depth", "cell").agg(F.sum("c").alias("c"))
+    )
+    direct = countmin_cells(both, "v", w=64, d=3)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+    repart = countmin_cells(both.repartition(13), "v", w=64, d=3)
+    assert sorted(map(tuple, repart.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+
+def test_countmin_heavy_hitters_finds_true_heavies(spark):
+    """A value with overwhelming count lands in the hash-sample and is
+    reported with an over-count-only estimate."""
+    from edgar_finance_ontology_spark.operators.sketches import (
+        countmin_heavy_hitters,
+    )
+
+    rows = [("heavy",)] * 500 + [(f"rare{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "v string")
+    got = {r["v"]: r["cm_estimate"]
+           for r in countmin_heavy_hitters(
+               df, "v", min_count=100, w=512, d=4,
+               candidate_rate=0.9).collect()}
+    assert "heavy" in got and got["heavy"] >= 500
+    assert all(k == "heavy" for k in got)
