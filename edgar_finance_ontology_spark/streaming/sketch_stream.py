@@ -263,3 +263,75 @@ def compact_hist_store(spark: SparkSession, store_dir: str,
         )
 
     return _compact(spark, store_dir, fold)
+
+
+# ---------------------------------------------------------------------------
+# Count-min: per-cell SUM — same batch-identity contract as the
+# histogram log (a replay would double-count, so the fold dedups on
+# (batch_id, depth, cell) first)
+
+
+def stream_countmin_cells(
+    spark: SparkSession,
+    source_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    value_col: str,
+    w: int = 1024,
+    d: int = 4,
+):
+    """AvailableNow maintenance of a count-min cell log. State per
+    batch is ≤ d×w rows + the batch_id column."""
+    from ..operators.sketches import countmin_cells
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        countmin_cells(batch_df, value_col, w=w, d=d) \
+            .withColumn("batch_id", F.lit(batch_id).cast("long")) \
+            .write.mode("append").parquet(store_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_countmin_estimates(
+    spark: SparkSession,
+    store_dir: str,
+    keys: DataFrame,
+    key_col: str,
+    w: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """Point estimates over everything ever streamed — identical to
+    batch `countmin_estimate` on the union of all batches (each batch
+    summed exactly once via batch-id dedup)."""
+    from ..operators.sketches import countmin_estimate
+
+    log = spark.read.parquet(store_dir)
+    cells = (
+        log.dropDuplicates(["batch_id", "depth", "cell"])
+        .groupBy("depth", "cell").agg(F.sum("c").alias("c"))
+    )
+    return countmin_estimate(cells, keys, key_col, w=w, d=d)
+
+
+def compact_countmin_store(spark: SparkSession, store_dir: str) -> int:
+    """Fold the cell log to one generation under batch_id −1. Same
+    replay-window constraint as compact_hist_store: run only after a
+    completed AvailableNow drain (SUM is not idempotent)."""
+    def fold(df: DataFrame) -> DataFrame:
+        return (
+            df.dropDuplicates(["batch_id", "depth", "cell"])
+            .groupBy("depth", "cell").agg(F.sum("c").alias("c"))
+            .withColumn("batch_id", F.lit(-1).cast("long"))
+        )
+
+    return _compact(spark, store_dir, fold)

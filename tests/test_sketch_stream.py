@@ -248,3 +248,76 @@ def test_hist_stream_equals_batch_and_batchid_dedups_replay(spark, tmp_path):
     got3 = _rows(read_hist_quantiles(spark, store, ["grp"], kw["lo"],
                                      kw["hi"], kw["n_buckets"], kw["quantiles"]))
     assert got3 == exp3
+
+
+def test_countmin_stream_equals_batch_and_batchid_dedups_replay(
+        spark, tmp_path):
+    """The count-min cell log composes like the histogram log (SUM +
+    batch-id dedup): streamed estimates equal the batch sketch over
+    everything streamed, a crash-replay re-append under the same
+    batch_id changes nothing, and compaction is pure space
+    reclamation."""
+    from edgar_finance_ontology_spark.operators.sketches import (
+        countmin_cells, countmin_estimate,
+    )
+    from edgar_finance_ontology_spark.streaming.sketch_stream import (
+        compact_countmin_store,
+        read_countmin_estimates,
+        stream_countmin_cells,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(w=128, d=3)
+
+    def vals(lo, hi, mod):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("k"), (F.col("id") % mod).cast("string"))
+            .alias("v"))
+
+    b1, b2 = vals(0, 3_000, 17), vals(0, 2_000, 29)
+    b1.write.mode("append").parquet(src)
+    q = stream_countmin_cells(spark, src, store, ckpt, "v string", "v",
+                              **kw)
+    q.awaitTermination()
+    b2.write.mode("append").parquet(src)
+    q = stream_countmin_cells(spark, src, store, ckpt, "v string", "v",
+                              **kw)
+    q.awaitTermination()
+
+    everything = b1.unionByName(b2)
+    keys = everything.select("v").distinct()
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    exp = rows(countmin_estimate(
+        countmin_cells(everything, "v", **kw), keys, "v", **kw))
+    got = rows(read_countmin_estimates(spark, store, keys, "v", **kw))
+    assert got == exp
+
+    # crash-replay: batch 1's cells re-appended under its batch_id
+    countmin_cells(b2, "v", **kw) \
+        .withColumn("batch_id", F.lit(1).cast("long")) \
+        .write.mode("append").parquet(store)
+    assert rows(read_countmin_estimates(spark, store, keys, "v",
+                                        **kw)) == exp
+
+    kept = compact_countmin_store(spark, store)
+    assert kept == spark.read.parquet(store).count()
+    assert rows(read_countmin_estimates(spark, store, keys, "v",
+                                        **kw)) == exp
+
+    # a post-compaction batch keeps composing
+    b3 = vals(0, 1_000, 5)
+    b3.write.mode("append").parquet(src)
+    q = stream_countmin_cells(spark, src, store, ckpt, "v string", "v",
+                              **kw)
+    q.awaitTermination()
+    all3 = everything.unionByName(b3)
+    keys3 = all3.select("v").distinct()
+    exp3 = rows(countmin_estimate(
+        countmin_cells(all3, "v", **kw), keys3, "v", **kw))
+    assert rows(read_countmin_estimates(spark, store, keys3, "v",
+                                        **kw)) == exp3
