@@ -117,7 +117,11 @@ def bench_queries(spark) -> dict:
 
     _warmup(spark)
     out = {}
-    for name in BENCH_QUERIES:
+    # BENCH_QUERIES fixes a stable measurement order round-over-round;
+    # registry entries added after the list are appended in name order
+    # so a new query can never silently drop out of the record
+    names = BENCH_QUERIES + sorted(set(QUERIES) - set(BENCH_QUERIES))
+    for name in names:
         fn, _sql = QUERIES[name]
         # best-of-2: squeezes GC phase / page-cache / turbo variance out
         # of per-query numbers so round-over-round deltas are signal

@@ -90,3 +90,17 @@ def test_line_budget_is_query_count_independent():
     parsed = json.loads(line)
     assert len(parsed["queries_slowest5"]) == 5
     assert parsed["n_queries"] == 200
+
+
+def test_bench_covers_every_registry_query():
+    """A registry entry added without touching bench.py must still be
+    measured: the effective name list is BENCH_QUERIES plus any
+    registry key not already in it."""
+    from edgar_finance_ontology_spark.queries import QUERIES
+
+    names = bench.BENCH_QUERIES + sorted(
+        set(QUERIES) - set(bench.BENCH_QUERIES)
+    )
+    assert set(names) == set(QUERIES)
+    assert len(names) == len(set(names))
+    assert all(n in QUERIES for n in bench.BENCH_QUERIES)
