@@ -182,3 +182,20 @@ def test_countmin_heavy_hitters_finds_true_heavies(spark):
                candidate_rate=0.9).collect()}
     assert "heavy" in got and got["heavy"] >= 500
     assert all(k == "heavy" for k in got)
+
+
+def test_countmin_cells_single_mapside_combined_exchange(spark):
+    """The sketch build is ONE hash exchange whose upstream partial
+    aggregation bounds per-partition output at d*w rows (map-side
+    combine on (depth, cell))."""
+    from edgar_finance_ontology_spark.operators.sketches import (
+        countmin_cells,
+    )
+
+    df = spark.createDataFrame([(f"v{i % 9}",) for i in range(100)],
+                               "v string")
+    qe = countmin_cells(df, "v", w=64, d=4)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    # partial-then-final: two HashAggregates around the exchange
+    assert plan.count("HashAggregate") >= 2, plan

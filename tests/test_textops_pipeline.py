@@ -679,3 +679,15 @@ def test_gopher_rules_semantics(spark):
     )
     row = gopher_rules(edge, min_words=1).collect()[0]
     assert row["r_symbol_ratio"] == 1 and row["n_words"] == 10
+
+
+def test_gopher_rules_is_a_pure_map(spark):
+    """The whole rule set must evaluate inside the scan stage — zero
+    Exchange in the executed plan (the 100-TB claim in the docstring,
+    asserted)."""
+    from edgar_finance_ontology_spark.operators.textops import gopher_rules
+
+    df = spark.createDataFrame([("a", "some text here")],
+                               "doc_id string, text string")
+    plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
