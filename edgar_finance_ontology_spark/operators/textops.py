@@ -201,6 +201,54 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     )
 
 
+def c4_clean(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", min_words_per_line: int = 5,
+             min_sentences: int = 3) -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020, §2.2), line and page rules:
+
+      * keep only lines with >= min_words_per_line words that end in
+        terminal punctuation (. ! ? ") and don't mention javascript;
+      * flag pages containing "lorem ipsum" or a curly brace;
+      * keep a page iff it survives the flags and its cleaned text
+        still has >= min_sentences sentences (terminal-punct count).
+
+    Returns (id, text_clean, n_lines_kept, n_sentences,
+    has_lorem_ipsum, has_curly_brace, c4_keep) with 0/1 flags.
+    Pure per-row map (split/filter HOFs + regex counts), replayed
+    bit-for-bit by the DuckDB twin; the span-level dedup C4 pairs
+    with this is `remove_boilerplate_lines` / `trim_dup_spans`.
+    """
+    text = F.col(text_col)
+    lower = F.lower(text)
+
+    def _is_kept(l):
+        words = F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != "")
+        return (
+            (F.size(words) >= min_words_per_line)
+            & F.rtrim(l).rlike('[.!?"]$')
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter(F.split(text, "\n"), _is_kept)
+    clean = F.concat_ws("\n", kept)
+    n_sent = F.length(clean) - F.length(F.regexp_replace(clean, r"[.!?]", ""))
+    has_lorem = F.when(lower.contains("lorem ipsum"), 1).otherwise(0)
+    has_brace = F.when(text.contains("{"), 1).otherwise(0)
+    keep = F.when(
+        (has_lorem == 0) & (has_brace == 0)
+        & (n_sent >= min_sentences), 1
+    ).otherwise(0)
+    return df.select(
+        F.col(id_col).alias("id"),
+        clean.alias("text_clean"),
+        F.size(kept).alias("n_lines_kept"),
+        n_sent.cast("int").alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_curly_brace"),
+        keep.alias("c4_keep"),
+    )
+
+
 def unigram_surprisal_scores(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id",
                              vocab_size: int = 50_000) -> DataFrame:

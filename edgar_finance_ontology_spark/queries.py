@@ -1086,6 +1086,70 @@ FROM r ORDER BY id
 """
 
 
+def q_c4_clean(spark, sf):
+    """The synthetic docs are single-line and unpunctuated (no C4 rule
+    can fire on them), so the query derives a deterministic punctuated
+    variant first — ' table ' becomes a sentence/line break, and two
+    doc_id-keyed slices get the lorem-ipsum / curly-brace poison —
+    with the identical derivation in the DuckDB twin."""
+    from .operators.textops import c4_clean
+
+    d = _t(spark, sf, "documents")
+    doc_id = F.col("doc_id")
+    text = F.regexp_replace(F.col("text"), " table ", ".\n")
+    text = F.when(doc_id % 17 == 0, F.concat(text, F.lit(" lorem ipsum"))) \
+        .otherwise(text)
+    text = F.when(doc_id % 23 == 0, F.concat(text, F.lit(" {"))) \
+        .otherwise(text)
+    return c4_clean(d.select(doc_id, text.alias("text"))).orderBy("id")
+
+
+SQL_C4 = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 23 = 0 THEN base || ' {'
+              ELSE base END AS text
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 17 = 0 THEN punct || ' lorem ipsum'
+                ELSE punct END AS base
+    FROM (
+      SELECT doc_id,
+             replace(text, ' table ', '.' || chr(10)) AS punct
+      FROM documents))),
+k AS (
+  SELECT doc_id AS id, text,
+         list_filter(string_split(text, chr(10)), l ->
+             len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+                 y -> y <> '')) >= 5
+             AND regexp_matches(rtrim(l), '[.!?"]$')
+             AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM d),
+m AS (
+  SELECT id,
+         -- array_to_string([]) is NULL in DuckDB (string_agg
+         -- semantics); Spark concat_ws gives '' — align on ''
+         coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+         len(kept) AS n_lines_kept,
+         CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END
+             AS has_lorem_ipsum,
+         CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_curly_brace
+  FROM k),
+s AS (
+  SELECT id, text_clean, n_lines_kept,
+         (length(text_clean)
+          - length(regexp_replace(text_clean, '[.!?]', '', 'g')))::INT
+             AS n_sentences,
+         has_lorem_ipsum, has_curly_brace
+  FROM m)
+SELECT id, text_clean, n_lines_kept, n_sentences, has_lorem_ipsum,
+       has_curly_brace,
+       CASE WHEN has_lorem_ipsum = 0 AND has_curly_brace = 0
+                 AND n_sentences >= 3 THEN 1 ELSE 0 END AS c4_keep
+FROM s ORDER BY id
+"""
+
+
 def q_token_counts(spark, sf):
     from .operators.textops import token_counts
 
@@ -2399,6 +2463,7 @@ QUERIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_scores": (q_quality, SQL_QUALITY),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER),
+    "c4_clean": (q_c4_clean, SQL_C4),
     "token_counts": (q_token_counts, SQL_TOKENS),
     "token_counts_bpe": (q_token_counts_bpe, SQL_TOKENS_BPE),
     "unigram_surprisal": (q_unigram_surprisal, SQL_SURPRISAL),

@@ -691,3 +691,39 @@ def test_gopher_rules_is_a_pure_map(spark):
                                "doc_id string, text string")
     plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_c4_clean_semantics(spark):
+    from edgar_finance_ontology_spark.operators.textops import c4_clean
+
+    good = ("This line has enough words to be kept fine.\n"
+            "Another proper sentence with more than five words!\n"
+            "And a third full sentence right here for the count?")
+    docs = [
+        ("keep", good),
+        ("short_lines", "too few words.\nalso tiny line.\nnope again."),
+        ("no_punct", "this line has plenty of words but no terminal mark\n"
+                     "same story on the second line of this page"),
+        ("js", good + "\nPlease enable javascript to view this content."),
+        ("lorem", good + " lorem ipsum"),
+        ("brace", good + " function() {"),
+        ("two_sent", "Only one proper sentence lives on this page today."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["id"]: r.asDict() for r in c4_clean(df).collect()}
+
+    assert got["keep"]["c4_keep"] == 1
+    assert got["keep"]["n_lines_kept"] == 3
+    assert got["keep"]["n_sentences"] == 3
+    assert got["keep"]["text_clean"] == good
+
+    assert got["short_lines"]["n_lines_kept"] == 0
+    assert got["short_lines"]["text_clean"] == ""
+    assert got["no_punct"]["n_lines_kept"] == 0
+    # the javascript line is dropped but the page survives on the rest
+    assert got["js"]["n_lines_kept"] == 3 and got["js"]["c4_keep"] == 1
+    assert "javascript" not in got["js"]["text_clean"]
+    assert got["lorem"]["has_lorem_ipsum"] == 1 and got["lorem"]["c4_keep"] == 0
+    assert got["brace"]["has_curly_brace"] == 1 and got["brace"]["c4_keep"] == 0
+    assert got["two_sent"]["n_sentences"] == 1
+    assert got["two_sent"]["c4_keep"] == 0
