@@ -378,6 +378,56 @@ def fingerprints(df: DataFrame, text_col: str = "text",
     )
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Winnowing (Schleimer et al. 2003): (id, fp) — the DISTINCT
+    minima of every w-window over the character-k-gram md5 sequence.
+    Unlike the single global min in `fingerprints`, this carries the
+    paper's guarantee: two documents sharing any substring of length
+    >= t = w+k-1 share at least one fingerprint, while storing only
+    ~2/(w+1) of the gram hashes.
+
+    Scale: pure per-row map + explode (no shuffle); the downstream
+    shared-fp join is the same df-capped inverted-index shape as the
+    n-gram Jaccard family. Deterministic md5 selection, so the DuckDB
+    twin replays the exact fingerprint set.
+    """
+    text = F.col(text_col)
+    n = F.length(text)
+    gidx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    grams = F.transform(gidx, lambda i: F.md5(text.substr(i, F.lit(k))))
+    g = F.size(grams)
+    widx = F.sequence(F.lit(1), F.greatest(g - w + 1, F.lit(1)))
+    fps = F.array_distinct(
+        F.transform(widx, lambda j: F.array_min(F.slice(grams, j, w)))
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(fps).alias("fp"))
+
+
+def winnow_shared_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8, w: int = 4,
+                        max_df: int = 8,
+                        min_shared: int = 2) -> DataFrame:
+    """(id_a, id_b, shared_fps) for document pairs sharing >=
+    min_shared winnowing fingerprints. Fingerprints seen in more than
+    max_df documents are dropped before the self-join (boilerplate
+    fingerprints would otherwise fan out quadratically — the same
+    df-cap doctrine as ngram_jaccard_pairs)."""
+    fp = winnow_fingerprints(df, text_col, id_col, k, w)
+    dfc = fp.groupBy("fp").agg(F.count("*").alias("dfc"))
+    good = fp.join(dfc.where(F.col("dfc") <= max_df), "fp")
+    a = good.select("fp", F.col("id").alias("id_a"))
+    b = good.select("fp", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
 def repetition_scores(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", ngram: int = 5) -> DataFrame:
     """Gopher/RefinedWeb-style repetition metrics per document:

@@ -1086,6 +1086,39 @@ FROM r ORDER BY id
 """
 
 
+def q_winnow_pairs(spark, sf):
+    from .operators.textops import winnow_shared_pairs
+
+    d = _t(spark, sf, "documents")
+    return winnow_shared_pairs(d).orderBy("id_a", "id_b")
+
+
+SQL_WINNOW = r"""
+WITH g AS (
+  SELECT doc_id AS id,
+         list_transform(
+             range(1, greatest(length(text) - 8 + 1, 1) + 1),
+             i -> md5(substr(text, i::INT, 8))) AS grams
+  FROM documents),
+f AS (
+  SELECT id,
+         list_distinct(list_transform(
+             range(1, greatest(len(grams) - 4 + 1, 1) + 1),
+             j -> list_aggregate(
+                 list_slice(grams, j::INT, j::INT + 3), 'min'))) AS fps
+  FROM g),
+fp AS (SELECT id, unnest(fps) AS fp FROM f),
+dfc AS (SELECT fp, count(*) AS dfc FROM fp GROUP BY 1),
+good AS (SELECT fp.id, fp.fp FROM fp JOIN dfc USING (fp) WHERE dfc <= 8),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS shared_fps
+  FROM good a JOIN good b USING (fp)
+  WHERE a.id < b.id GROUP BY 1, 2)
+SELECT id_a, id_b, shared_fps FROM pairs
+WHERE shared_fps >= 2 ORDER BY id_a, id_b
+"""
+
+
 def q_c4_clean(spark, sf):
     """The synthetic docs are single-line and unpunctuated (no C4 rule
     can fire on them), so the query derives a deterministic punctuated
@@ -2464,6 +2497,7 @@ QUERIES = {
     "quality_scores": (q_quality, SQL_QUALITY),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER),
     "c4_clean": (q_c4_clean, SQL_C4),
+    "winnow_pairs": (q_winnow_pairs, SQL_WINNOW),
     "token_counts": (q_token_counts, SQL_TOKENS),
     "token_counts_bpe": (q_token_counts_bpe, SQL_TOKENS_BPE),
     "unigram_surprisal": (q_unigram_surprisal, SQL_SURPRISAL),

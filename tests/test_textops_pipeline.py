@@ -727,3 +727,40 @@ def test_c4_clean_semantics(spark):
     assert got["brace"]["has_curly_brace"] == 1 and got["brace"]["c4_keep"] == 0
     assert got["two_sent"]["n_sentences"] == 1
     assert got["two_sent"]["c4_keep"] == 0
+
+
+def test_winnowing_guarantee_and_pairs(spark):
+    """Schleimer et al. 2003 detection guarantee: two documents that
+    share any substring of length >= t = w + k - 1 share at least one
+    winnowing fingerprint; disjoint-alphabet documents share none."""
+    from edgar_finance_ontology_spark.operators.textops import (
+        winnow_fingerprints, winnow_shared_pairs,
+    )
+
+    k, w = 8, 4
+    shared = "the quick brown fox jumps over"   # len 30 >= t = 11
+    docs = [
+        ("a", "prefix alpha " + shared + " suffix one"),
+        ("b", "other beginning " + shared + " different tail"),
+        ("c", "zzzz qqqq vvvv xxxx yyyy wwww uuuu completely apart"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+
+    fp = winnow_fingerprints(df, k=k, w=w)
+    by_id = {
+        i: {r["fp"] for r in rows}
+        for i, rows in __import__("itertools").groupby(
+            sorted(fp.collect(), key=lambda r: r["id"]),
+            key=lambda r: r["id"])
+    }
+    assert by_id["a"] & by_id["b"], "guaranteed shared fingerprint missing"
+    assert not (by_id["a"] & by_id["c"])
+    assert not (by_id["b"] & by_id["c"])
+
+    # density contract: per doc, far fewer fingerprints than k-grams
+    n_grams = len(docs[0][1]) - k + 1
+    assert 0 < len(by_id["a"]) < n_grams
+
+    pairs = winnow_shared_pairs(df, k=k, w=w, max_df=8, min_shared=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {("a", "b")}
