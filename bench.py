@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
-"""Benchmark harness. Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-   "sf": ..., "kg": {...}, "scaling": {...}}
+"""Benchmark harness. Writes the FULL record (per-query map, kg/cq/
+scaling detail) to BENCH_LOCAL.json, then prints ONE compact JSON line
+sized for the driver's 2000-char tail capture (see compact_record):
+  {"metric": "...", "value": N, "unit": "sec", "n_queries": N,
+   "queries_slowest5": {...}, "sf": ..., "total_query_sec": N,
+   "kg": {...flattened scalars...}, "scaling": {...efficiencies...}}
 
 Parts:
   1. headline operator queries at $SPARK_GRAFT_SF_DIR (default

@@ -110,8 +110,16 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     n_feats = 0 — they carry no evidence either way."""
     rf = hashed_ngram_features(raw, text_col, id_col, n_buckets)
     tf = hashed_ngram_features(target, text_col, id_col, n_buckets)
-    rm = _bucket_model(rf)
-    tm = _bucket_model(tf)
+    # Materialize the ≤B-row bucket models ONCE (eager localCheckpoint
+    # truncates lineage; ContextCleaner frees it on GC — see PLANS.md
+    # on persist-in-plan-builder pinning). Without this the full
+    # raw-corpus gram explode ran three times (tot_r action, λ branch,
+    # scoring branch) and the target explode twice. raw is still
+    # scanned twice — fit pass + score pass — which is the intended
+    # 100-TB posture: persisting the gram table (≫ input bytes) to
+    # save the second scan would cost more than the scan.
+    rm = _bucket_model(rf).localCheckpoint(eager=True)
+    tm = _bucket_model(tf).localCheckpoint(eager=True)
     tot_r, tot_t = (
         int(rm.agg(F.sum("cnt")).first()[0] or 0),
         int(tm.agg(F.sum("cnt")).first()[0] or 0),

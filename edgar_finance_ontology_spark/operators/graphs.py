@@ -52,16 +52,20 @@ def pagerank_int(
             + Σ over in-edges (u,v) of (num·r(u)) div (den·outdeg(u))."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    # Static frames reused every iteration. Eager localCheckpoint, not
+    # cache(): a cache pinned from inside a plan-builder is never
+    # unpersisted (the caller can't reach it) and leaks executor
+    # storage across calls; checkpoint blocks are freed by the
+    # ContextCleaner when the returned plan is GC'd, and the truncated
+    # lineage keeps the per-iteration join plan flat.
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # static per-edge frame, reused every iteration — cache it so the
-    # (possibly expensive) edge derivation doesn't re-run iters times
-    ed = e.join(deg, "src").cache()
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
     teleport = (scale * (damping_den - damping_num)) // damping_den
     ranks = nodes.withColumn("r", F.lit(int(scale)).cast("long"))
     for _ in range(iters):

@@ -197,7 +197,10 @@ def pagerank_priors(alias_edges: DataFrame, iters: int = 4,
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    ranks = pagerank_int(sym, iters=iters)
+    # Materialize the iterative chain ONCE: the min/max agg below is an
+    # action, and the returned select is consumed later — uncached, the
+    # full iters-round join pipeline would execute twice.
+    ranks = pagerank_int(sym, iters=iters).localCheckpoint(eager=True)
     lo, hi = ranks.agg(F.min("rank_units"), F.max("rank_units")).first()
     if hi == lo:
         return ranks.select(

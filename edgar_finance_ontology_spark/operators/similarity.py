@@ -469,7 +469,15 @@ def semdedup(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).where(F.col("v").isNotNull() & (F.size("v") == dim))
-    asg = e.withColumn("cell", cell_assign_col(F.col("v"), centroids))
+    # Materialize the assignment ONCE: asg feeds both self-join sides
+    # AND the member join below, and cell_assign_col is an O(k·dim)
+    # expression per row — uncached it executed three times (the DuckDB
+    # twin marks the same asg CTE MATERIALIZED for the same reason).
+    # Eager localCheckpoint also truncates lineage before the iterative
+    # CC kernel re-reads the edge plan every round.
+    asg = e.withColumn(
+        "cell", cell_assign_col(F.col("v"), centroids)
+    ).localCheckpoint(eager=True)
     a = asg.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                    "cell")
     b = asg.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),

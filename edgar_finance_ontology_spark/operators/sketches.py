@@ -154,7 +154,10 @@ def kmv_pairwise_jaccard(df: DataFrame, value_col: str, set_col: str,
     no matter how many billions of values it holds.
 
     Output: (set_a, set_b, n_merged, n_both, kmv_jaccard 6dp)."""
-    sk = kmv_sketch(df, value_col, set_col, k).cache()
+    # eager localCheckpoint (≤ k rows per set): the pairwise join reads
+    # the sketch from both sides; a cache() here would pin blocks with
+    # no caller-reachable unpersist, a checkpoint is ContextCleaner-freed
+    sk = kmv_sketch(df, value_col, set_col, k).localCheckpoint(eager=True)
     return kmv_jaccard_from_sketch(sk, k)
 
 
@@ -266,14 +269,17 @@ def histogram_counts(df: DataFrame, value_col: str,
     group_cols = group_cols or []
     width = (hi - lo) / n_buckets
     v = F.col(value_col).cast("double")
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor((v - F.lit(float(lo))) / F.lit(float(width)))
-            .cast("int"),
-        ),
+    # Clamp in DOUBLE *before* floor/cast: floor returns LONG and the
+    # int cast is ANSI-checked, so one dirty row with
+    # (v-lo)/width >= 2^31 (or +Inf) would abort the whole aggregation
+    # with CAST_OVERFLOW instead of landing in the overflow bucket.
+    # least/greatest also route NaN (sorts greater than any double) to
+    # the overflow bucket and -Inf to bucket 0.
+    scaled = F.least(
+        F.lit(float(n_buckets - 1)),
+        F.greatest(F.lit(0.0), (v - F.lit(float(lo))) / F.lit(float(width))),
     )
+    bucket = F.floor(scaled).cast("int")
     return (
         df.where(v.isNotNull())
         .groupBy(*group_cols, bucket.alias("bucket"))

@@ -142,7 +142,11 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     scan at any corpus size.
     """
     text = F.col(text_col)
-    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+    # one definition of "word" across the quality family: tokens_col
+    # (the contract the token counters and DuckDB twins are tuned to),
+    # case preserved here because the rules inspect casing themselves
+    words = F.filter(tokens_col(text, lowercase=False),
+                     lambda w: w != "")
     lower_words = F.transform(words, F.lower)
     lines = F.split(text, "\n")
     n_words = F.size(words)
@@ -222,7 +226,8 @@ def c4_clean(df: DataFrame, text_col: str = "text",
     lower = F.lower(text)
 
     def _is_kept(l):
-        words = F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != "")
+        words = F.filter(tokens_col(l, lowercase=False),
+                         lambda w: w != "")
         return (
             (F.size(words) >= min_words_per_line)
             & F.rtrim(l).rlike('[.!?"]$')

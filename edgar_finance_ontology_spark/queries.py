@@ -1560,7 +1560,7 @@ WITH base AS (
   FROM lineitem WHERE l_extendedprice IS NOT NULL),
 b AS (
   SELECT flag,
-         least(1023, greatest(0, floor((v - 0.0) / 117.1875)::INT))
+         floor(least(1023.0, greatest(0.0, (v - 0.0) / 117.1875)))::INT
            AS bucket
   FROM base),
 c AS (SELECT flag, bucket, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),

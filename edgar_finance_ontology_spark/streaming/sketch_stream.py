@@ -96,13 +96,18 @@ def compact_hll_store(spark: SparkSession, store_dir: str,
 def _compact(spark: SparkSession, store_dir: str, fold) -> int:
     import shutil
 
-    merged = fold(spark.read.parquet(store_dir))
-    rows = merged.cache().count()
-    # two-step: the merged plan reads store_dir, so materialize to a
-    # sibling first, then rewrite the store from that generation
-    merged.write.mode("overwrite").parquet(store_dir + ".compact")
-    spark.read.parquet(store_dir + ".compact") \
-        .write.mode("overwrite").parquet(store_dir)
+    merged = fold(spark.read.parquet(store_dir)).cache()
+    try:
+        rows = merged.count()
+        # two-step: the merged plan reads store_dir, so materialize to a
+        # sibling first, then rewrite the store from that generation
+        merged.write.mode("overwrite").parquet(store_dir + ".compact")
+        spark.read.parquet(store_dir + ".compact") \
+            .write.mode("overwrite").parquet(store_dir)
+    finally:
+        # release the cached generation — repeated compactions would
+        # otherwise accumulate pinned blocks for the session lifetime
+        merged.unpersist()
     shutil.rmtree(store_dir + ".compact", ignore_errors=True)
     return rows
 

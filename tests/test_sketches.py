@@ -89,6 +89,15 @@ def test_histogram_quantiles_uniform_and_clamp(spark):
     r2 = histogram_quantiles(oob, "v", lo=0.0, hi=1.0, n_buckets=10,
                              quantiles=(0.5,)).first()
     assert r2["n_rows"] == 2 and 0.0 < r2["p50"] <= 1.0
+    # regression: values whose raw bucket index exceeds int32 (and
+    # ±Inf / NaN) must clamp, not abort the job with an ANSI
+    # CAST_OVERFLOW — the index was cast to int BEFORE clamping
+    dirty = spark.createDataFrame(
+        [(3.0e6,), (float("inf"),), (float("-inf"),), (float("nan"),),
+         (0.5,)], "v double")
+    r3 = histogram_quantiles(dirty, "v", lo=0.0, hi=1.0, n_buckets=1024,
+                             quantiles=(0.5,)).first()
+    assert r3["n_rows"] == 5 and 0.0 < r3["p50"] <= 1.0
 
 
 def test_histogram_quantiles_grouped_invariant(spark):
