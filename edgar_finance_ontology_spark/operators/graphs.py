@@ -50,14 +50,22 @@ def pagerank_int(
     in 1/`scale` units. r0 = scale for every node;
     r'(v) = floor(scale·(den−num)/den)
             + Σ over in-edges (u,v) of (num·r(u)) div (den·outdeg(u))."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+    # Materialize the (possibly expensive) edge derivation ONCE, then
+    # derive the static frames from the materialized copy. Eager
+    # localCheckpoint, not cache(): a cache pinned from inside a
+    # plan-builder is never unpersisted (the caller can't reach it)
+    # and leaks executor storage across calls; checkpoint blocks are
+    # freed by the ContextCleaner when the returned plan is GC'd.
+    # nodes and ed are ALSO checkpointed (cheap — they read e's
+    # materialized blocks) because each appears `iters` times in the
+    # final single-action DAG and Spark does not dedupe common
+    # subplans: left lazy, the distinct/deg-join would re-run every
+    # iteration.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-    # Static frames reused every iteration. Eager localCheckpoint, not
-    # cache(): a cache pinned from inside a plan-builder is never
-    # unpersisted (the caller can't reach it) and leaks executor
-    # storage across calls; checkpoint blocks are freed by the
-    # ContextCleaner when the returned plan is GC'd, and the truncated
-    # lineage keeps the per-iteration join plan flat.
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))

@@ -192,8 +192,12 @@ def pagerank_priors(alias_edges: DataFrame, iters: int = 4,
     leaves the executors."""
     from .graphs import pagerank_int
 
+    # materialize the caller's edge derivation once — the symmetrize
+    # union reads it from both sides, and pagerank_int's own edge
+    # checkpoint would otherwise re-run it through the union twice
     e = alias_edges.select(F.col(src).alias("src"),
-                           F.col(dst).alias("dst"))
+                           F.col(dst).alias("dst")) \
+        .localCheckpoint(eager=True)
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

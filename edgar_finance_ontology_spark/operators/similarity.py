@@ -219,7 +219,8 @@ def ann_ivf_multiprobe(
         F.col(vec_col).cast("array<double>").alias("ev"),
     ).where(
         F.col("ev").isNotNull() & (F.size("ev") == dim)
-    ).withColumn("cell", cell_assign_col(F.col("ev"), centroids))
+    ).withColumn("cell", cell_assign_col(F.col("ev"), centroids)) \
+     .withColumn("en", _norm(F.col("ev")))
     qv = F.col("qv")
     dists = F.array(*[_dist2_to(qv, c) for c in centroids])
     ranked = F.transform(
@@ -237,11 +238,18 @@ def ann_ivf_multiprobe(
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).where(
         F.col("qv").isNotNull() & (F.size("qv") == dim)
-    ).withColumn("cell", F.explode(F.slice(ranked, 1, nprobe)))
+    ).withColumn("cell", F.explode(F.slice(ranked, 1, nprobe))) \
+     .withColumn("qn", _norm(qv))
     j = e.join(F.broadcast(q), "cell").where(
         F.col("neighbor_id") != F.col("query_id")
     )
-    j = j.withColumn("cos", cosine_col(F.col("qv"), F.col("ev")))
+    # norms hoisted to each side pre-join (interpreted HOF folds run
+    # once per row, not once per candidate pair); identical IEEE value
+    # to cosine_col, so the DuckDB twin is unaffected
+    j = j.withColumn(
+        "cos",
+        _dot(F.col("qv"), F.col("ev")) / (F.col("qn") * F.col("en")),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -420,11 +428,19 @@ def search_ivf_index(spark, store_dir: str, queries: DataFrame,
     })
     e = spark.read.parquet(
         str(pathlib.Path(store_dir) / "assignments")
-    ).where(F.col("cell").isin(probe_cells))
+    ).where(F.col("cell").isin(probe_cells)) \
+        .withColumn("en", _norm(F.col("embedding")))
+    # norms hoisted to each side pre-join (once per row, not per
+    # candidate pair); same IEEE value as cosine_col
+    qp = qp.withColumn("qn", _norm(F.col("qv")))
     j = e.withColumnRenamed("vec_id", "neighbor_id").join(
         F.broadcast(qp), "cell"
     ).where(F.col("neighbor_id") != F.col("query_id"))
-    j = j.withColumn("cos", cosine_col(F.col("qv"), F.col("embedding")))
+    j = j.withColumn(
+        "cos",
+        _dot(F.col("qv"), F.col("embedding"))
+        / (F.col("qn") * F.col("en")),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -475,16 +491,25 @@ def semdedup(
     # twin marks the same asg CTE MATERIALIZED for the same reason).
     # Eager localCheckpoint also truncates lineage before the iterative
     # CC kernel re-reads the edge plan every round.
+    # The row norm is hoisted out of the pair predicate and
+    # materialized with the assignment: per within-cell pair the
+    # cosine then costs ONE zip_with/aggregate fold (the dot) plus a
+    # divide, instead of three folds (dot + both norms — HOF lambdas
+    # run interpreted, not codegen'd, so this is ~3x the per-pair
+    # work). Same IEEE values — the fold producing each norm is
+    # unchanged, only computed once per row instead of once per pair —
+    # so the DuckDB twin and the keep-ordering contract are unaffected.
     asg = e.withColumn(
         "cell", cell_assign_col(F.col("v"), centroids)
-    ).localCheckpoint(eager=True)
+    ).withColumn("nrm", _norm(F.col("v"))).localCheckpoint(eager=True)
     a = asg.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                   "cell")
+                   F.col("nrm").alias("na"), "cell")
     b = asg.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                   "cell")
+                   F.col("nrm").alias("nb"), "cell")
     edges = (
         a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
-        .where(cosine_col(F.col("va"), F.col("vb")) >= tau)
+        .where(_dot(F.col("va"), F.col("vb"))
+               / (F.col("na") * F.col("nb")) >= tau)
         .select("id_a", "id_b")
     )
     clusters = duplicate_clusters(edges)

@@ -1646,7 +1646,10 @@ def q_pagerank_neardup(spark, sf):
     from .operators.graphs import pagerank_int
 
     d = _t(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.12, max_df=64)
+    # materialize the expensive pair generation once — the symmetrize
+    # union below reads it from both sides in a single job
+    pairs = ngram_jaccard_pairs(d, threshold=0.12, max_df=64) \
+        .localCheckpoint(eager=True)
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(
@@ -1740,17 +1743,24 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
 def q_embedding_near_dup(spark, sf):
     """Embedding-cosine near-duplicate pairs, cell-restricted (IVF
     coarse cells bound the pair space — never n² across cells)."""
-    from .operators.similarity import cosine_col
+    from .operators.similarity import _dot, _norm
 
-    e = _t(spark, sf, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"),
-                 F.col("embedding").cast("array<double>").alias("va"),
-                 F.col("label").alias("cell"))
-    b = e.select(F.col("vec_id").alias("id_b"),
-                 F.col("embedding").cast("array<double>").alias("vb"),
-                 F.col("label").alias("cell"))
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.col("label").alias("cell"),
+    # norm hoisted out of the pair predicate (once per row, not per
+    # pair — HOF folds are interpreted); same IEEE value as cosine_col
+    ).withColumn("nrm", _norm(F.col("v")))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"), "cell")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"), "cell")
     j = a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
-    j = j.withColumn("cos", cosine_col(F.col("va"), F.col("vb")))
+    j = j.withColumn(
+        "cos",
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+    )
     return (
         j.where(F.col("cos") >= 0.35)
         .select("cell", "id_a", "id_b", F.round("cos", 6).alias("cos"))
