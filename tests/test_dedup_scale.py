@@ -193,3 +193,43 @@ def test_ngram_count_pruning_matches_naive(boiler_docs):
         assert a == b, f"max_df={cap}"
         if cap == 2:
             assert a, "fixture must produce pairs through the correction path"
+
+
+def test_word_shingles_arrow_equals_hof(spark):
+    """The Arrow shingler must produce EXACTLY the HOF form's rows —
+    including the whitespace/empty-token edge cases where Java \\s
+    (ASCII-only), space-only trim, and keep-trailing-empty split
+    semantics all matter."""
+    from edgar_finance_ontology_spark.operators.dedup import word_shingles
+
+    rows = [
+        ("d0", "plain three word shingle text here"),
+        ("d1", "two words"),                       # shorter than n
+        ("d2", ""),                                 # empty
+        ("d3", None),                               # null text
+        ("d4", "   leading spaces and  double  gaps inside   "),
+        ("d5", "\ttab\tseparated\ttokens\tleading tab too"),
+        ("d6", "trailing whitespace tokens here\t"),
+        ("d7", " \t "),                             # whitespace-only
+        ("d8", "MIXED Case TOKENS lower the SAME way"),
+        ("d9", "dup dup dup dup dup"),              # repeated shingles
+        ("d9", "dup dup dup dup dup"),              # duplicate id row
+        ("d10", "unicode nbsp is not java whitespace"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    for n in (2, 3):
+        arrow = {tuple(r) for r in
+                 word_shingles(df, "text", n, "doc_id",
+                               impl="arrow").collect()}
+        hof = {tuple(r) for r in
+               word_shingles(df, "text", n, "doc_id",
+                             impl="hof").collect()}
+        assert arrow == hof, (n, arrow ^ hof)
+    # non-string id type flows through the dynamic schema
+    dfl = spark.createDataFrame([(1, "a b c d"), (2, "x y z w")],
+                                "doc_id long, text string")
+    a = {tuple(r) for r in word_shingles(dfl, "text", 3, "doc_id",
+                                         impl="arrow").collect()}
+    h = {tuple(r) for r in word_shingles(dfl, "text", 3, "doc_id",
+                                         impl="hof").collect()}
+    assert a == h and len(a) == 4
