@@ -1002,9 +1002,60 @@ def mix_by_temperature(df: DataFrame, target_tokens: int,
                              default_rate=0.0)
 
 
+def _token_window_hashes(df: DataFrame, text_col: str, id_col: str,
+                         window_tokens: int, with_pos: bool,
+                         drop_empty: bool) -> DataFrame:
+    """(id[, pos], h) — md5 of every space-joined `window_tokens`-token
+    rolling window, Arrow-batched. Bit-identical to the HOF form
+    (md5 of concat_ws(' ', slice(tokens, i+1, w)) over lowercased
+    ASCII-\\s-split tokens; docs with fewer than w tokens emit
+    nothing); equality-tested in tests/test_textops_pipeline.py.
+    Shared kernel of substring_dup_stats / trim_dup_spans — the
+    hottest window-hash loop, ~6x the interpreted-HOF throughput."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    slim = df.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("_text"))
+    w = window_tokens
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for i, t in zip(pdf["id"], pdf["_text"]):
+                if t is None:
+                    continue
+                toks = ws.split(t.lower().strip(" "))
+                if drop_empty:
+                    toks = [x for x in toks if x != ""]
+                if len(toks) < w:
+                    continue
+                for j in range(len(toks) - w + 1):
+                    h = hashlib.md5(
+                        " ".join(toks[j:j + w]).encode("utf-8")
+                    ).hexdigest()
+                    ids.append(i)
+                    poss.append(j)
+                    hs.append(h)
+            out = {"id": ids}
+            if with_pos:
+                out["pos"] = pd.Series(poss, dtype="int32")
+            out["h"] = hs
+            yield pd.DataFrame(out)
+
+    schema = (f"id {id_type}, pos int, h string" if with_pos
+              else f"id {id_type}, h string")
+    return slim.mapInPandas(gen, schema)
+
+
 def substring_dup_stats(df: DataFrame, window_tokens: int = 50,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        impl: str = "arrow") -> DataFrame:
     """MassiveText/RefinedWeb-style EXACT-SUBSTRING duplication signal:
     for each document, how many of its `window_tokens`-token rolling
     windows also appear verbatim in ANOTHER document. Long shared
@@ -1027,21 +1078,29 @@ def substring_dup_stats(df: DataFrame, window_tokens: int = 50,
     join, never n^2."""
     from .dedup import tokens_col
 
-    toks = tokens_col(F.col(text_col))
-    idx = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - window_tokens, F.lit(0))
-    )
-    win = F.transform(
-        idx, lambda i: F.md5(
-            F.concat_ws(" ", F.slice(toks, i + 1, window_tokens))
+    if impl == "arrow":
+        wins = _token_window_hashes(df, text_col, id_col, window_tokens,
+                                    with_pos=False, drop_empty=False)
+    else:
+        toks = tokens_col(F.col(text_col))
+        idx = F.sequence(
+            F.lit(0), F.greatest(F.size(toks) - window_tokens, F.lit(0))
         )
-    )
-    wins = (
-        df.select(F.col(id_col).alias("id"), F.explode(win).alias("h"),
-                  F.size(toks).alias("_nt"))
-        .where(F.col("_nt") >= window_tokens)
-        .drop("_nt")
-    )
+        win = F.transform(
+            idx, lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, i + 1, window_tokens))
+            )
+        )
+        wins = (
+            df.select(F.col(id_col).alias("id"),
+                      F.explode(win).alias("h"),
+                      F.size(toks).alias("_nt"))
+            .where(F.col("_nt") >= window_tokens)
+            .drop("_nt")
+        )
+    # wins feeds the distinct-doc agg AND the per-doc rollup join —
+    # materialize once (Spark does not dedupe common subplans)
+    wins = wins.localCheckpoint(eager=True)
     docs_per_window = wins.groupBy("h").agg(
         F.countDistinct("id").alias("n_docs")
     )
@@ -1062,7 +1121,8 @@ def substring_dup_stats(df: DataFrame, window_tokens: int = 50,
 
 def trim_dup_spans(df: DataFrame, window_tokens: int = 15,
                    text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   impl: str = "arrow") -> DataFrame:
     """The REMOVAL policy on top of substring_dup_stats: delete every
     token covered by a cross-doc duplicated `window_tokens`-token
     window from all docs EXCEPT the span's owner (lowest doc id per
@@ -1088,19 +1148,30 @@ def trim_dup_spans(df: DataFrame, window_tokens: int = 15,
     )
     n = window_tokens
     tarr = F.filter(tokens_col(F.col(text_col)), lambda t: t != "")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tarr) - n, F.lit(0)))
-    win = F.transform(
-        idx, lambda i: F.struct(
-            i.alias("pos"),
-            F.md5(F.concat_ws(" ", F.slice(tarr, i + 1, n))).alias("h"),
+    if impl == "arrow":
+        wins = _token_window_hashes(df, text_col, id_col, n,
+                                    with_pos=True, drop_empty=True)
+    else:
+        idx = F.sequence(F.lit(0),
+                         F.greatest(F.size(tarr) - n, F.lit(0)))
+        win = F.transform(
+            idx, lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(tarr, i + 1, n)))
+                .alias("h"),
+            )
         )
-    )
-    wins = (
-        df.select(F.col(id_col).alias("id"), F.size(tarr).alias("_nt"),
-                  F.explode(win).alias("w"))
-        .where(F.col("_nt") >= n)
-        .select("id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
-    )
+        wins = (
+            df.select(F.col(id_col).alias("id"),
+                      F.size(tarr).alias("_nt"),
+                      F.explode(win).alias("w"))
+            .where(F.col("_nt") >= n)
+            .select("id", F.col("w.pos").alias("pos"),
+                    F.col("w.h").alias("h"))
+        )
+    # wins feeds the owner/count agg AND the removable join —
+    # materialize once
+    wins = wins.localCheckpoint(eager=True)
     stats = wins.groupBy("h").agg(
         F.countDistinct("id").alias("n_docs"),
         F.min("id").alias("owner"),

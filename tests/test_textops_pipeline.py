@@ -764,3 +764,37 @@ def test_winnowing_guarantee_and_pairs(spark):
     pairs = winnow_shared_pairs(df, k=k, w=w, max_df=8, min_shared=2)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert got == {("a", "b")}
+
+
+def test_window_hash_arrow_equals_hof(spark):
+    """The Arrow window-hash kernel must emit exactly the HOF form's
+    rows for both substring_dup_stats (empties kept, no pos) and
+    trim_dup_spans (empties dropped, with pos), across whitespace and
+    short-doc edge cases."""
+    from edgar_finance_ontology_spark.operators.textops import (
+        substring_dup_stats,
+        trim_dup_spans,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        ("a", base + " one two three"),
+        ("b", base + " one two three"),           # duplicate span
+        ("c", "short doc"),                        # under the window
+        ("d", "\t" + base + "  double  gap " + base),  # tabs/empties
+        ("e", None),
+        ("f", ""),
+        ("g", base.upper()),                       # lowercasing
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    for w in (3, 5):
+        a = {tuple(r) for r in substring_dup_stats(
+            df, w, impl="arrow").collect()}
+        h = {tuple(r) for r in substring_dup_stats(
+            df, w, impl="hof").collect()}
+        assert a == h, (w, a ^ h)
+        at = {tuple(r) for r in trim_dup_spans(
+            df, w, impl="arrow").collect()}
+        ht = {tuple(r) for r in trim_dup_spans(
+            df, w, impl="hof").collect()}
+        assert at == ht, (w, at ^ ht)
