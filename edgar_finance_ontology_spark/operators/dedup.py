@@ -45,13 +45,18 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
     """
     if impl == "arrow":
         return _word_shingles_arrow(df, text_col, n, id_col)
-    toks = tokens_col(F.col(text_col))
+    # stage the token array as a real column: interpreted HOF lambdas
+    # re-evaluate their body per element with no CSE, so an inline
+    # split expression would re-tokenize the document once per shingle
+    staged = df.withColumn("_toks", tokens_col(F.col(text_col)))
+    toks = F.col("_toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        staged.select(F.col(id_col).alias("id"),
+                      F.explode(sh).alias("shingle"))
         .where(F.size(F.split(F.col("shingle"), " ")) == n)
         .distinct()
     )

@@ -369,10 +369,50 @@ def token_counts(df: DataFrame, text_col: str = "text",
     )
 
 
+def _char_gram_md5(text: str | None, k: int) -> list:
+    """Python twin of the HOF char-k-gram md5 sequence: md5 hex of
+    text[i:i+k] for i in 0..max(n-k, 0) — Python str indexing counts
+    code points, matching Spark substr on UTF8String; a doc shorter
+    than k contributes the md5 of its whole text (substr clips), and
+    NULL text yields [None] (md5(NULL) -> NULL inside the array)."""
+    import hashlib
+
+    if text is None:
+        return [None]
+    n = len(text)
+    return [
+        hashlib.md5(text[i:i + k].encode("utf-8")).hexdigest()
+        for i in range(max(n - k, 0) + 1)
+    ]
+
+
 def fingerprints(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id", k: int = 8) -> DataFrame:
+                 id_col: str = "doc_id", k: int = 8,
+                 impl: str = "arrow") -> DataFrame:
     """Winnowing-style document fingerprint: the minimum md5 over all
-    character k-grams (rolling window). Portable and deterministic."""
+    character k-grams (rolling window). Portable and deterministic.
+    impl='arrow' computes the gram hashes in an Arrow-batched map
+    (bit-identical — hex md5 min under ASCII ordering matches Spark's
+    binary string array_min; equality property-tested); impl='hof'
+    keeps the pure column form."""
+    if impl == "arrow":
+        id_type = df.schema[id_col].dataType.simpleString()
+        slim = df.select(F.col(id_col).alias("id"),
+                         F.col(text_col).alias("_text"))
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ids, fps = [], []
+                for i, t in zip(pdf["id"], pdf["_text"]):
+                    grams = [g for g in _char_gram_md5(t, k)
+                             if g is not None]
+                    ids.append(i)
+                    fps.append(min(grams) if grams else None)
+                yield pd.DataFrame({"id": ids, "fingerprint": fps})
+
+        return slim.mapInPandas(gen, f"id {id_type}, fingerprint string")
     text = F.col(text_col)
     n = F.length(text)
     idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
@@ -385,7 +425,7 @@ def fingerprints(df: DataFrame, text_col: str = "text",
 
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 8,
-                        w: int = 4) -> DataFrame:
+                        w: int = 4, impl: str = "arrow") -> DataFrame:
     """Winnowing (Schleimer et al. 2003): (id, fp) — the DISTINCT
     minima of every w-window over the character-k-gram md5 sequence.
     Unlike the single global min in `fingerprints`, this carries the
@@ -398,16 +438,54 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     n-gram Jaccard family. Deterministic md5 selection, so the DuckDB
     twin replays the exact fingerprint set.
     """
+    if impl == "arrow":
+        id_type = df.schema[id_col].dataType.simpleString()
+        slim = df.select(F.col(id_col).alias("id"),
+                         F.col(text_col).alias("_text"))
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ids, fps = [], []
+                for i, t in zip(pdf["id"], pdf["_text"]):
+                    grams = _char_gram_md5(t, k)
+                    g = len(grams)
+                    seen, ordered = set(), []
+                    for j in range(max(g - w, 0) + 1):
+                        win = [x for x in grams[j:j + w]
+                               if x is not None]
+                        # array_min skips NULLs; all-NULL window -> NULL
+                        m = min(win) if win else None
+                        if m not in seen:
+                            seen.add(m)
+                            ordered.append(m)
+                    ids.extend([i] * len(ordered))
+                    fps.extend(ordered)
+                yield pd.DataFrame({"id": ids, "fp": fps})
+
+        return slim.mapInPandas(gen, f"id {id_type}, fp string")
     text = F.col(text_col)
     n = F.length(text)
     gidx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
-    grams = F.transform(gidx, lambda i: F.md5(text.substr(i, F.lit(k))))
+    # materialize the gram array as a REAL column before the window
+    # transform: interpreted HOF lambdas re-evaluate their body per
+    # element with no common-subexpression elimination, so an inline
+    # `grams` expression would recompute the ENTIRE md5 array for
+    # every window — quadratic in document length (measured: sf0.1
+    # went from minutes to seconds)
+    staged = df.withColumn(
+        "_grams",
+        F.transform(gidx, lambda i: F.md5(text.substr(i, F.lit(k)))),
+    )
+    grams = F.col("_grams")
     g = F.size(grams)
     widx = F.sequence(F.lit(1), F.greatest(g - w + 1, F.lit(1)))
     fps = F.array_distinct(
         F.transform(widx, lambda j: F.array_min(F.slice(grams, j, w)))
     )
-    return df.select(F.col(id_col).alias("id"), F.explode(fps).alias("fp"))
+    return staged.select(F.col(id_col).alias("id"),
+                         F.explode(fps).alias("fp"))
 
 
 def winnow_shared_pairs(df: DataFrame, text_col: str = "text",
@@ -419,7 +497,10 @@ def winnow_shared_pairs(df: DataFrame, text_col: str = "text",
     max_df documents are dropped before the self-join (boilerplate
     fingerprints would otherwise fan out quadratically — the same
     df-cap doctrine as ngram_jaccard_pairs)."""
-    fp = winnow_fingerprints(df, text_col, id_col, k, w)
+    # fp feeds the df-count agg AND the capped join side — materialize
+    # once (Spark does not dedupe common subplans)
+    fp = winnow_fingerprints(df, text_col, id_col, k, w) \
+        .localCheckpoint(eager=True)
     dfc = fp.groupBy("fp").agg(F.count("*").alias("dfc"))
     good = fp.join(dfc.where(F.col("dfc") <= max_df), "fp")
     a = good.select("fp", F.col("id").alias("id_a"))
@@ -1082,7 +1163,10 @@ def substring_dup_stats(df: DataFrame, window_tokens: int = 50,
         wins = _token_window_hashes(df, text_col, id_col, window_tokens,
                                     with_pos=False, drop_empty=False)
     else:
-        toks = tokens_col(F.col(text_col))
+        # staged token column: see winnow_fingerprints — inline arrays
+        # inside interpreted HOF lambdas re-evaluate per element
+        staged = df.withColumn("_toks", tokens_col(F.col(text_col)))
+        toks = F.col("_toks")
         idx = F.sequence(
             F.lit(0), F.greatest(F.size(toks) - window_tokens, F.lit(0))
         )
@@ -1092,9 +1176,9 @@ def substring_dup_stats(df: DataFrame, window_tokens: int = 50,
             )
         )
         wins = (
-            df.select(F.col(id_col).alias("id"),
-                      F.explode(win).alias("h"),
-                      F.size(toks).alias("_nt"))
+            staged.select(F.col(id_col).alias("id"),
+                          F.explode(win).alias("h"),
+                          F.size(toks).alias("_nt"))
             .where(F.col("_nt") >= window_tokens)
             .drop("_nt")
         )
@@ -1152,19 +1236,23 @@ def trim_dup_spans(df: DataFrame, window_tokens: int = 15,
         wins = _token_window_hashes(df, text_col, id_col, n,
                                     with_pos=True, drop_empty=True)
     else:
+        # staged token column: see winnow_fingerprints — inline arrays
+        # inside interpreted HOF lambdas re-evaluate per element
+        staged = df.withColumn("_tarr", tarr)
+        st = F.col("_tarr")
         idx = F.sequence(F.lit(0),
-                         F.greatest(F.size(tarr) - n, F.lit(0)))
+                         F.greatest(F.size(st) - n, F.lit(0)))
         win = F.transform(
             idx, lambda i: F.struct(
                 i.alias("pos"),
-                F.md5(F.concat_ws(" ", F.slice(tarr, i + 1, n)))
+                F.md5(F.concat_ws(" ", F.slice(st, i + 1, n)))
                 .alias("h"),
             )
         )
         wins = (
-            df.select(F.col(id_col).alias("id"),
-                      F.size(tarr).alias("_nt"),
-                      F.explode(win).alias("w"))
+            staged.select(F.col(id_col).alias("id"),
+                          F.size(st).alias("_nt"),
+                          F.explode(win).alias("w"))
             .where(F.col("_nt") >= n)
             .select("id", F.col("w.pos").alias("pos"),
                     F.col("w.h").alias("h"))

@@ -798,3 +798,34 @@ def test_window_hash_arrow_equals_hof(spark):
         ht = {tuple(r) for r in trim_dup_spans(
             df, w, impl="hof").collect()}
         assert at == ht, (w, at ^ ht)
+
+
+def test_char_gram_fingerprints_arrow_equals_hof(spark):
+    """Arrow char-gram md5 kernels must emit exactly the HOF rows:
+    global-min fingerprint and winnowing window minima, across short/
+    empty/null/unicode texts (substr counts code points both sides)."""
+    from edgar_finance_ontology_spark.operators.textops import (
+        fingerprints,
+        winnow_fingerprints,
+    )
+
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "short"),                    # shorter than k
+        ("c", ""),                         # empty -> md5('')
+        ("d", None),                       # null text
+        ("e", "café touché résumé naïve"),
+        ("f", "aaaaaaaaaaaaaaaaaaaa"),     # degenerate repeats
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    for k, w in ((8, 4), (3, 2)):
+        fa = {tuple(r) for r in fingerprints(df, k=k,
+                                             impl="arrow").collect()}
+        fh = {tuple(r) for r in fingerprints(df, k=k,
+                                             impl="hof").collect()}
+        assert fa == fh, (k, fa ^ fh)
+        wa = {tuple(r) for r in winnow_fingerprints(
+            df, k=k, w=w, impl="arrow").collect()}
+        wh = {tuple(r) for r in winnow_fingerprints(
+            df, k=k, w=w, impl="hof").collect()}
+        assert wa == wh, (k, w, wa ^ wh)
