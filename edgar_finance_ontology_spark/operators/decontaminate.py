@@ -38,23 +38,39 @@ def _seed_positions(grams, seed: int, m_bits: int):
     )
 
 
-def _gram_positions(text_col, ngram: int, m_bits: int, k: int):
-    """(grams array, [k position arrays]) per row — column-native:
-    tokens -> sliding shingles (short docs yield no grams) -> seeded
-    xxhash64 bit positions."""
+def _stage_gram_positions(df: DataFrame, text_col, ngram: int,
+                          m_bits: int, k: int):
+    """Return (staged_df, "_grams", ["_pos0", ...]) with the gram
+    array and the k seeded-position arrays materialized as REAL
+    columns. Staging matters: interpreted HOF lambdas re-evaluate
+    their body per element with no CSE, so an inline token/gram array
+    referenced inside a lambda is rebuilt per element — per-gram
+    re-tokenization here, and in the flagging path the k FULL position
+    arrays were rebuilt per gram (quadratic in grams). Columns
+    evaluate once per row."""
     from .dedup import tokens_col
 
-    toks = tokens_col(text_col)
+    staged = df.withColumn("_toks", tokens_col(text_col))
+    toks = F.col("_toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - ngram, F.lit(0)))
-    raw = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram))
+    staged = staged.withColumn(
+        "_raw",
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram))
+        ),
+    ).withColumn(
+        "_grams",
+        F.filter(F.col("_raw"),
+                 lambda g: F.size(F.split(g, " ")) == ngram),
     )
-    grams = F.filter(
-        raw, lambda g: F.size(F.split(g, " ")) == ngram
-    )
-    return grams, [
-        _seed_positions(grams, seed, m_bits) for seed in range(k)
-    ]
+    pos_cols = []
+    for seed in range(k):
+        staged = staged.withColumn(
+            f"_pos{seed}",
+            _seed_positions(F.col("_grams"), seed, m_bits),
+        )
+        pos_cols.append(f"_pos{seed}")
+    return staged, "_grams", pos_cols
 
 
 def build_gram_bloom(heldout: DataFrame, text_col: str = "text",
@@ -67,9 +83,11 @@ def build_gram_bloom(heldout: DataFrame, text_col: str = "text",
     with numpy. Returns {'bits': bytes, 'm_bits', 'k', 'ngram'}."""
     import numpy as np
 
-    _, pos_arrays = _gram_positions(F.col(text_col), ngram, m_bits, k)
-    pos = heldout.select(
-        F.explode(F.flatten(F.array(*pos_arrays))).alias("p")
+    staged, _, pos_cols = _stage_gram_positions(
+        heldout, F.col(text_col), ngram, m_bits, k)
+    pos = staged.select(
+        F.explode(F.flatten(F.array(*[F.col(c) for c in pos_cols])))
+        .alias("p")
     ).distinct().collect()
     bits = np.zeros(m_bits, dtype=bool)
     if pos:
@@ -94,12 +112,17 @@ def bloom_flag_contaminated(train: DataFrame, bloom: dict,
     spark = train.sparkSession
     bc = spark.sparkContext.broadcast(bloom["bits"])
 
-    grams, pos_arrays = _gram_positions(F.col(text_col), ngram, m_bits, k)
-    slim = train.select(
+    staged, gram_col, pos_cols = _stage_gram_positions(
+        train, F.col(text_col), ngram, m_bits, k)
+    grams = F.col(gram_col)
+    pos_arrays = [F.col(c) for c in pos_cols]
+    slim = staged.select(
         F.col(id_col).alias("id"),
         F.size(grams).alias("n_grams"),
         # k position arrays flattened gram-major: gram j occupies
-        # slots j*k .. j*k+k-1 (the probe reshapes to [-1, k])
+        # slots j*k .. j*k+k-1 (the probe reshapes to [-1, k]);
+        # pa are plain column refs, so per-element access is a lookup,
+        # not a rebuild of the whole position array
         F.when(F.size(grams) == 0, F.array().cast("array<bigint>"))
         .otherwise(F.flatten(F.transform(
             F.sequence(F.lit(0), F.size(grams) - 1),

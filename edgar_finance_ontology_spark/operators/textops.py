@@ -144,11 +144,19 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     text = F.col(text_col)
     # one definition of "word" across the quality family: tokens_col
     # (the contract the token counters and DuckDB twins are tuned to),
-    # case preserved here because the rules inspect casing themselves
-    words = F.filter(tokens_col(text, lowercase=False),
-                     lambda w: w != "")
+    # case preserved here because the rules inspect casing themselves.
+    # words/lines are STAGED as real columns: every flag below that
+    # references them is a separate expression occurrence, and without
+    # the projection the filter+split re-ran per occurrence (10+ times
+    # per row) — still a zero-Exchange pure map, just single-pass.
+    staged = df.withColumn(
+        "_words",
+        F.filter(tokens_col(text, lowercase=False), lambda w: w != ""),
+    ).withColumn("_lines", F.split(text, "\n"))
+    df = staged
+    words = F.col("_words")
     lower_words = F.transform(words, F.lower)
-    lines = F.split(text, "\n")
+    lines = F.col("_lines")
     n_words = F.size(words)
     n_lines = F.size(lines)
     sum_word_len = F.aggregate(
@@ -532,11 +540,14 @@ def repetition_scores(df: DataFrame, text_col: str = "text",
         F.sum("c").alias("n_words"), F.max("c").alias("top_c")
     )
     t = F.col(text_col)
-    arr = tokens_col(t)
+    # staged token column: inline arrays inside interpreted HOF
+    # lambdas re-evaluate per element (see winnow_fingerprints)
+    staged = df.withColumn("_toks", tokens_col(t))
+    arr = F.col("_toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(arr) - ngram, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(arr, i + 1, ngram)))
     g = (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        staged.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
         .where(F.size(F.split(F.col("gram"), " ")) == ngram)
         .groupBy("id")
         .agg(F.count("*").alias("n_grams"),
