@@ -305,12 +305,20 @@ def simhash64(df: DataFrame, text_col: str = "text",
         .where(F.col("tok") != "")
         .withColumn("h", F.md5("tok"))
     )
+    # stage the 16 digit values once per token: each digit feeds 4 bit
+    # sums, and an inline instr/substr in every aggregate re-extracted
+    # the digit 4x per token (64 expression occurrences total)
+    digit_cols = [
+        F.expr(f"(instr('{_HEX}', substr(h, {j}, 1)) - 1)")
+        .alias(f"d_{j}")
+        for j in range(1, 17)
+    ]
+    toks = toks.select("id", *digit_cols)
     aggs = []
     for j in range(1, 17):
-        d = f"(instr('{_HEX}', substr(h, {j}, 1)) - 1)"
         for k in range(4):
             aggs.append(
-                F.sum(F.expr(f"2 * (shiftright({d}, {k}) & 1) - 1"))
+                F.sum(F.expr(f"2 * (shiftright(d_{j}, {k}) & 1) - 1"))
                 .alias(f"s_{j}_{k}")
             )
     sums = toks.groupBy("id").agg(*aggs)
