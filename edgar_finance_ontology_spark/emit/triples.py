@@ -14,6 +14,8 @@ bare in Turtle).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -75,9 +77,22 @@ def company_triples(companies: DataFrame) -> DataFrame:
             companies["industry"] == ind_dim["_dim_key"], "left",
         ).drop("_dim_key")
     )
+    subj, entries = _company_exprs()
+    return _emit(c, subj, list(entries))
+
+
+@functools.lru_cache(maxsize=1)
+def _company_exprs():
+    """Pure expression fragments of the company family, built once per
+    process — Column objects are immutable expression trees over fixed
+    column NAMES, safe to reuse across DataFrames and sessions. (Every
+    family builder memoizes its fragments this way: plan construction
+    was ~3-5s of py4j round trips per build_triples call, and the
+    incremental patch path plus the 10x/100x panels re-pay it per
+    invocation otherwise.)"""
     subj = F.concat(F.lit("efin:CIK"), F.lpad("cik", 10, "0"))
     sym = F.upper(F.coalesce(F.col("symbol"), F.lit("")))
-    entries = [
+    entries = (
         (F.lit(True), _t("rdf:type", F.lit("efin:Company"))),
         (F.col("cik") != "", _t("efin:hasCIK", F.lpad("cik", 10, "0"), True)),
         (sym != "", _t("efin:hasTicker", ttl_escape_col(sym), True)),
@@ -87,8 +102,8 @@ def company_triples(companies: DataFrame) -> DataFrame:
         (F.col("fye") != "", _t("efin:hasFiscalYearEnd", ttl_escape_col(F.col("fye")), True)),
         (F.col("sector") != "", _t("efin:inSector", F.concat(F.lit("efin:Sector"), F.col("sector_camel")))),
         (F.col("industry") != "", _t("efin:inIndustry", F.concat(F.lit("efin:Industry"), F.col("industry_camel")))),
-    ]
-    return _emit(c, subj, entries)
+    )
+    return subj, entries
 
 
 def entity_dim_triples(companies: DataFrame, needs_sector_all: bool) -> DataFrame:
@@ -137,36 +152,28 @@ def entity_dim_triples(companies: DataFrame, needs_sector_all: bool) -> DataFram
     return out.unionByName(ind_type).unionByName(ind_sec_t)
 
 
-def observation_triples(obs: DataFrame) -> DataFrame:
-    """Observation family (select_xbrl_tags.py:235-400) over the
-    CSV-rounded value view."""
+@functools.lru_cache(maxsize=1)
+def _obs_exprs():
+    """Pure expression fragments of the observation family (see
+    _company_exprs for the memoization rationale)."""
     from ..functions.dates import parse_date_col
-
-    unit_dim = _camel_dim(obs, "unit").withColumnRenamed("camel", "unit_camel")
-    o = obs.join(
-        F.broadcast(unit_dim), obs["unit"] == unit_dim["_dim_key"], "left"
-    ).drop("_dim_key")
-
     from ..functions.iri import py_round6_col
 
     v6 = py_round6_col(F.col("value"))
-    o = (
-        o.where(
-            (F.col("cik") != "") & (F.col("metric") != "")
-            & F.col("fy").isNotNull()
-            & F.col("period_type").isin("duration", "instant")
-            & v6.isNotNull()
-        )
-        .withColumn("vrepr", py_float_repr_col(v6))
-        .withColumn("end_d", parse_date_col(F.col("end")))
+    keep = (
+        (F.col("cik") != "") & (F.col("metric") != "")
+        & F.col("fy").isNotNull()
+        & F.col("period_type").isin("duration", "instant")
+        & v6.isNotNull()
     )
+    vrepr = py_float_repr_col(v6)
+    end_d = parse_date_col(F.col("end"))
     end_nonempty = F.col("end").isNotNull() & (F.col("end") != "")
     quarter = F.when(
         F.upper(F.coalesce(F.col("form"), F.lit(""))).contains("10-Q")
         & end_nonempty & F.col("end_d").isNotNull(),
         F.floor((F.month("end_d") + 2) / 3).cast("int"),
     )
-    o = o.withColumn("quarter", quarter)
     subj = F.concat(
         F.lit("efin:obs-"),
         iri_safe_col(
@@ -179,7 +186,7 @@ def observation_triples(obs: DataFrame) -> DataFrame:
     )
     uu = F.upper(F.coalesce(F.col("unit"), F.lit("")))
     tag = F.trim(F.coalesce(F.col("selected_tag"), F.lit("")))
-    entries = [
+    entries = (
         (F.lit(True), _t("rdf:type", F.lit("efin:MetricObservation"))),
         (F.lit(True), _t("efin:ofCompany", F.concat(F.lit("efin:CIK"), F.lpad("cik", 10, "0")))),
         (F.lit(True), _t("efin:observesMetric", F.concat(F.lit("efin:"), iri_safe_col(F.col("metric"))))),
@@ -193,8 +200,26 @@ def observation_triples(obs: DataFrame) -> DataFrame:
         (F.lit(True), _t("efin:isDerived", F.when(F.col("is_derived"), "true").otherwise("false"), True, "xsd:boolean")),
         (tag != "", _t("efin:hasXbrlConcept", F.concat(F.lit("efin:XBRLConcept"), iri_safe_col(tag)))),
         (F.col("source_type") != "", _t("efin:hasSourceType", ttl_escape_col(F.col("source_type")), True)),
-    ]
-    base = _emit(o, subj, entries)
+    )
+    return keep, vrepr, end_d, quarter, subj, entries
+
+
+def observation_triples(obs: DataFrame) -> DataFrame:
+    """Observation family (select_xbrl_tags.py:235-400) over the
+    CSV-rounded value view."""
+    unit_dim = _camel_dim(obs, "unit").withColumnRenamed("camel", "unit_camel")
+    o = obs.join(
+        F.broadcast(unit_dim), obs["unit"] == unit_dim["_dim_key"], "left"
+    ).drop("_dim_key")
+
+    keep, vrepr, end_d, quarter, subj, entries = _obs_exprs()
+    o = (
+        o.where(keep)
+        .withColumn("vrepr", vrepr)
+        .withColumn("end_d", end_d)
+    )
+    o = o.withColumn("quarter", quarter)
+    base = _emit(o, subj, list(entries))
 
     # computedFromMetric edges (whitelisted; select_xbrl_tags.py:374-397)
     cf = (
@@ -281,6 +306,16 @@ def benchmark_triples(
         .join(F.broadcast(met_dim), b["metric"] == met_dim["_dim_key"], "left")
         .drop("_dim_key")
     )
+    subj, repr_cols, entries = _benchmark_exprs()
+    for col, expr in repr_cols:
+        b = b.withColumn(f"{col}_r", expr)
+    return _emit(b, subj, list(entries))
+
+
+@functools.lru_cache(maxsize=1)
+def _benchmark_exprs():
+    """Pure expression fragments of the benchmark family (see
+    _company_exprs for the memoization rationale)."""
     scoped = F.col("industry") != ""
     subj = F.when(
         scoped,
@@ -298,8 +333,9 @@ def benchmark_triples(
         ("percentile25", "efin:hasPercentile25"),
         ("percentile75", "efin:hasPercentile75"),
     ]
-    for col, _ in stats:
-        b = b.withColumn(f"{col}_r", py_float_repr_col(F.col(col)))
+    repr_cols = tuple(
+        (col, py_float_repr_col(F.col(col))) for col, _ in stats
+    )
     entries = [
         (F.lit(True), _t("rdf:type", F.when(scoped, "efin:IndustryBenchmark").otherwise("efin:AllBenchmark"))),
         (scoped, _t("efin:forIndustry", F.concat(F.lit("efin:Industry"), F.col("ind_camel")))),
@@ -313,7 +349,7 @@ def benchmark_triples(
         F.col("sample_size").isNotNull(),
         _t("efin:hasSampleSize", F.col("sample_size").cast("string"), True, "xsd:integer"),
     ))
-    return _emit(b, subj, entries)
+    return subj, repr_cols, tuple(entries)
 
 
 def ranking_triples(
@@ -339,6 +375,25 @@ def ranking_triples(
         .join(F.broadcast(sec_dim), r["sector"] == sec_dim["_dim_key"], "left").drop("_dim_key")
         .join(F.broadcast(met_dim), r["metric"] == met_dim["_dim_key"], "left").drop("_dim_key")
     )
+    subj, value_r, score_r, entries = _ranking_exprs()
+    r = r.withColumn("value_r", value_r).withColumn("score_r", score_r)
+    blocks = _emit(r, subj, list(entries))
+    backlinks = r.select(
+        F.concat(F.lit("efin:CIK"), F.lpad("cik", 10, "0")).alias("subj"),
+        F.lit("efin:hasRanking").alias("pred"),
+        subj.alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("obj_dtype"),
+    )
+    return blocks.unionByName(backlinks)
+
+
+@functools.lru_cache(maxsize=1)
+def _ranking_exprs():
+    """Pure expression fragments of the ranking family (see
+    _company_exprs for the memoization rationale)."""
+    scoped_ind = F.col("industry") != ""
+    scoped_sec = (F.col("industry") == "") & (F.col("sector") != "")
     cik10 = F.lpad("cik", 10, "0")
     fy_s = F.col("fy").cast("string")
     subj = (
@@ -353,10 +408,10 @@ def ranking_triples(
             F.lit("Top10"), fy_s, cik10))
     )
     finite = lambda c: c.isNotNull() & ~F.isnan(c) & (c != float("inf")) & (c != float("-inf"))  # noqa: E731
-    r = r.withColumn("value_r", py_float_repr_col(F.col("value"))) \
-         .withColumn("score_r", py_float_repr_col(F.col("composite_score")))
+    value_r = py_float_repr_col(F.col("value"))
+    score_r = py_float_repr_col(F.col("composite_score"))
     cls = F.when(scoped_ind, "efin:IndustryTopRanking").otherwise("efin:AllTopRanking")
-    entries = [
+    entries = (
         (F.lit(True), _t("rdf:type", cls)),
         (scoped_ind, _t("efin:forIndustry", F.concat(F.lit("efin:Industry"), F.col("ind_camel")))),
         (scoped_sec, _t("efin:forSector", F.concat(F.lit("efin:Sector"), F.col("sec_camel")))),
@@ -367,16 +422,8 @@ def ranking_triples(
         (F.lit(True), _t("efin:hasRank", F.col("rank").cast("string"), True, "xsd:integer")),
         (finite(F.col("value")), _t("efin:hasRankingValue", F.col("value_r"), True, "xsd:double")),
         (finite(F.col("composite_score")), _t("efin:hasCompositeScore", F.col("score_r"), True, "xsd:double")),
-    ]
-    blocks = _emit(r, subj, entries)
-    backlinks = r.select(
-        F.concat(F.lit("efin:CIK"), cik10).alias("subj"),
-        F.lit("efin:hasRanking").alias("pred"),
-        subj.alias("obj"),
-        F.lit(False).alias("obj_is_literal"),
-        F.lit(None).cast("string").alias("obj_dtype"),
     )
-    return blocks.unionByName(backlinks)
+    return subj, value_r, score_r, entries
 
 
 def build_triples(
@@ -432,14 +479,39 @@ def global_family_triples(
     ranking triples) as one frame — the piece build_triples and the
     incremental triple-store patcher (plans/incremental.py) share, so
     the SectorAll/dim rules live in exactly one place."""
-    needs_all = False
-    if benchmarks is not None:
-        needs_all = needs_all or has_all_market(benchmarks)
-    if rankings is not None:
-        needs_all = needs_all or has_all_market(rankings)
-    out = entity_dim_triples(companies, needs_all).unionByName(
+    # The SectorAll row is derived LAZILY inside the plan instead of
+    # via has_all_market() driver probes: the probe was a ~1.4s action
+    # on the build_triples critical path (per family), while a 1-row
+    # flag aggregate unioned into the dim family folds into whatever
+    # action consumes the triples. (The Turtle writer keeps its driver
+    # flag — there it is already folded into the one-job family
+    # summaries.)
+    out = entity_dim_triples(companies, False).unionByName(
         instance_dim_triples(observations)
-    ).dropDuplicates(["subj", "pred", "obj"])
+    )
+    flag_parts = [
+        fam.select(F.max(
+            F.when((F.col("industry") == "") & (F.col("sector") == ""), 1)
+            .otherwise(0)
+        ).alias("f"))
+        for fam in (benchmarks, rankings) if fam is not None
+    ]
+    if flag_parts:
+        need = flag_parts[0]
+        for fp in flag_parts[1:]:
+            need = need.unionByName(fp)
+        sector_all = (
+            need.agg(F.max("f").alias("f")).where(F.col("f") == 1)
+            .select(
+                F.lit("efin:SectorAll").alias("subj"),
+                F.lit("rdf:type").alias("pred"),
+                F.lit("efin:Sector").alias("obj"),
+                F.lit(False).alias("obj_is_literal"),
+                F.lit(None).cast("string").alias("obj_dtype"),
+            )
+        )
+        out = out.unionByName(sector_all)
+    out = out.dropDuplicates(["subj", "pred", "obj"])
     if benchmarks is not None:
         out = out.unionByName(
             benchmark_triples(benchmarks, include_industry_scope))

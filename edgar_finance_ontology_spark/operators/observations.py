@@ -13,6 +13,8 @@ total (selection windows + pivot), no UDFs, no driver loops.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -402,54 +404,26 @@ def metric_gates(
             "base_wanted": base_wanted, "derived_wanted": derived_wanted}
 
 
-def build_observations(
-    facts: DataFrame,
-    companies: DataFrame,
-    fy: int,
-    tol_days: int = 90,
-    prefer_unit: str = "USD",
-    include_derived: bool = True,
-    metrics: tuple[str, ...] = ("all",),
-    skip_derived: bool = False,
-) -> DataFrame:
-    """Full observations table (OBSERVATIONS_SCHEMA shape), ordered by
-    (cik, reference emission order). `metrics`/`skip_derived` mirror
-    the reference CLI's gating."""
+@functools.lru_cache(maxsize=8)
+def _emission_entries(metrics: tuple, include_derived: bool,
+                      skip_derived: bool) -> tuple:
+    """The per-metric emission struct expressions (null when the row
+    is absent) as an immutable tuple of Columns. MEMOIZED: this is
+    pure expression construction over fixed column names — no data, no
+    session state — and building it costs ~5s of py4j round trips at
+    ~3,000 Column ops, paid repeatedly by every build_observations
+    call in a process (bench alone calls it four times: kg panel, 10x
+    panel, incremental cold + patch). Column objects are immutable
+    expression trees wrapping JVM-side Expression objects on the
+    process-wide gateway, so reuse across DataFrames AND across
+    SparkSessions in one process is safe."""
     gates = metric_gates(
         metrics,
         include_derived_flag=include_derived,
         skip_derived=skip_derived or not include_derived,
     )
-    wide = build_wide(facts, companies, fy, tol_days, prefer_unit)
-
-    # ShortTermDebt = DebtCurrent else ShortTermDebt (:1968-1971)
-    wide = wide.withColumn(
-        "stx", F.coalesce(F.col("b_DebtCurrent"), F.col("b_ShortTermDebt"))
-    )
-    # COGS with its Revenue-GrossProfit fallback (:1985-2002) — the
-    # fallback feeds derived metrics too (select_cogs in
-    # compute_other_derived, :2583)
-    rev_s, gp_s = F.col("b_Revenue"), F.col("b_GrossProfit")
-    cogs_fb = F.struct(
-        F.lit("derived").alias("source_type"),
-        F.lit("derived:COGS").alias("qname"),
-        (rev_s["value"] - gp_s["value"]).alias("value"),
-        rev_s["unit"].alias("unit"),
-        rev_s["end"].alias("end"),
-        rev_s["form"].alias("form"),
-        rev_s["accn"].alias("accn"),
-        F.lit(0.60).alias("confidence"),
-    )
-    wide = wide.withColumn(
-        "cogx",
-        F.coalesce(
-            F.col("b_CostOfGoodsSold"),
-            F.when(rev_s.isNotNull() & gp_s.isNotNull(), cogs_fb),
-        ),
-    )
-
     ordpos = {m: i for i, m in enumerate(METRIC_EMISSION_ORDER)}
-    entries = []  # struct expressions, null when the row is absent
+    entries = []
 
     def obs(metric, cond, value, unit, period, end, form, accn, source,
             tag, cf, conf, reason, is_derived):
@@ -518,6 +492,51 @@ def build_observations(
                 r["period_type"], r["end"], r["form"], r["accn"],
                 F.lit("derived"), F.lit(""), F.lit(r["computed_from"]),
                 F.lit(r["confidence"]), F.lit(""), True)
+    return tuple(entries)
+
+
+def build_observations(
+    facts: DataFrame,
+    companies: DataFrame,
+    fy: int,
+    tol_days: int = 90,
+    prefer_unit: str = "USD",
+    include_derived: bool = True,
+    metrics: tuple[str, ...] = ("all",),
+    skip_derived: bool = False,
+) -> DataFrame:
+    """Full observations table (OBSERVATIONS_SCHEMA shape), ordered by
+    (cik, reference emission order). `metrics`/`skip_derived` mirror
+    the reference CLI's gating."""
+    wide = build_wide(facts, companies, fy, tol_days, prefer_unit)
+
+    # ShortTermDebt = DebtCurrent else ShortTermDebt (:1968-1971)
+    wide = wide.withColumn(
+        "stx", F.coalesce(F.col("b_DebtCurrent"), F.col("b_ShortTermDebt"))
+    )
+    # COGS with its Revenue-GrossProfit fallback (:1985-2002) — the
+    # fallback feeds derived metrics too (select_cogs in
+    # compute_other_derived, :2583)
+    rev_s, gp_s = F.col("b_Revenue"), F.col("b_GrossProfit")
+    cogs_fb = F.struct(
+        F.lit("derived").alias("source_type"),
+        F.lit("derived:COGS").alias("qname"),
+        (rev_s["value"] - gp_s["value"]).alias("value"),
+        rev_s["unit"].alias("unit"),
+        rev_s["end"].alias("end"),
+        rev_s["form"].alias("form"),
+        rev_s["accn"].alias("accn"),
+        F.lit(0.60).alias("confidence"),
+    )
+    wide = wide.withColumn(
+        "cogx",
+        F.coalesce(
+            F.col("b_CostOfGoodsSold"),
+            F.when(rev_s.isNotNull() & gp_s.isNotNull(), cogs_fb),
+        ),
+    )
+    entries = list(_emission_entries(
+        tuple(metrics), bool(include_derived), bool(skip_derived)))
 
     exploded = (
         wide.select("cik", F.explode(F.array(*entries)).alias("o"))
