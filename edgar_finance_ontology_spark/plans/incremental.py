@@ -48,6 +48,7 @@ from ..operators.rankings import compute_rankings
 from ..emit.triples import (
     company_triples, global_family_triples, observation_triples,
 )
+from . import snapshots
 from .web_pipeline import (
     assemble_facts, parse_fact_records, profile_rows,
     profiles_to_companies,
@@ -322,15 +323,29 @@ def run_incremental(
     # recoverable from the triple itself
     subj_cik = F.regexp_extract("subj", r"(?:CIK|obs-)(\d{10})", 1)
     if metrics["n_dirty"]:
+        # snapshot metadata keys partition values as strings (hive dir
+        # names); the dirty-bucket set is <= n_cik_buckets rows, a
+        # bounded driver collect
+        dirty_bucket_set = {
+            str(r["cik_bucket"]) for r in dirty_buckets.collect()
+        }
         percik_dirty = company_triples(companies_d).unionByName(
             observation_triples(obs_dirty)
         ).withColumn("family", F.lit("percik")) \
          .withColumn("cik_bucket", cik_bucket_col(subj_cik, n_cik_buckets))
-        if _exists(tri_dir):
+        if snapshots.table_exists(tri_dir):
+            # metadata-pruned read: only the dirty buckets' files ever
+            # reach Spark (Iceberg-manifest-style pruning — at 10^12
+            # triples this is the difference between reading one
+            # bucket and listing the whole table)
             kept_t = (
-                spark.read.parquet(str(tri_dir))
-                .where(F.col("family") == "percik")
-                .join(dirty_buckets, "cik_bucket", "semi")
+                snapshots.read_snapshot(
+                    spark, tri_dir,
+                    partition_filter=lambda pv: (
+                        pv.get("family") == "percik"
+                        and pv.get("cik_bucket") in dirty_bucket_set
+                    ),
+                )
                 .join(
                     dirty.select(F.lpad("cik", 10, "0").alias("_dc")),
                     subj_cik == F.col("_dc"), "left_anti",
@@ -360,9 +375,19 @@ def run_incremental(
             global_out if percik_out is None
             else percik_out.unionByName(global_out)
         )
-        with _DynamicOverwrite(spark):
-            to_write.write.mode("overwrite") \
-                .partitionBy("family", "cik_bucket").parquet(str(tri_dir))
+        # one atomic snapshot commit replaces the global family plus
+        # exactly the dirty percik buckets; every clean bucket's files
+        # carry over by reference (untouched on disk), and the
+        # pre-patch table stays readable by snapshot id
+        metrics["triples_snapshot_id"] = snapshots.commit_patch(
+            spark, tri_dir, to_write,
+            partition_cols=("family", "cik_bucket"),
+            replaced=lambda pv: (
+                pv.get("family") == "global"
+                or (pv.get("family") == "percik"
+                    and pv.get("cik_bucket") in dirty_bucket_set)
+            ),
+        )
         _tick("triples_patch")
         # -- 7. commit the manifest: patch only candidate buckets ----
         m_out = m_cand.withColumn(
@@ -383,7 +408,7 @@ def run_incremental(
     # n_dirty == 0: every store (triples, manifest) is already current
     # — a clean re-run rewrites NOTHING (asserted via file mtimes in
     # tests/test_incremental.py)
-    triples = spark.read.parquet(str(tri_dir)) \
+    triples = snapshots.read_snapshot(spark, tri_dir) \
         .drop("family", "cik_bucket")
     # parquet count() answers from footer metadata — no data scan
     metrics["n_companies"] = (

@@ -154,14 +154,25 @@ def test_late_page_rederives_exactly_one_company(spark, inc_world):
     for rel, mt in obs_before.items():
         if f"cik_bucket={dirty_bucket}/" not in rel:
             assert obs_after.get(rel) == mt, rel
+    # the triple store is a snapshot table: a patch only ADDS data
+    # files — every pre-patch file survives byte-untouched, replaced
+    # partitions included (they are merely de-referenced by the new
+    # snapshot)
     tri_after = _store_snapshot(store, "triples")
     for rel, mt in tri_before.items():
-        untouched = (
-            rel.startswith("family=percik/")
-            and f"cik_bucket={dirty_bucket}/" not in rel
-        )
-        if untouched:
-            assert tri_after.get(rel) == mt, rel
+        assert tri_after.get(rel) == mt, rel
+    # and the pre-patch table is still readable by snapshot id
+    # (time travel): it must equal the cold run's triples exactly
+    from edgar_finance_ontology_spark.plans import snapshots
+
+    tri_root = pathlib.Path(store) / "triples"
+    ids = snapshots.snapshot_ids(tri_root)
+    assert len(ids) >= 2
+    pre_patch = snapshots.read_snapshot(
+        spark, tri_root, snapshot_id=ids[-2]
+    ).drop("family", "cik_bucket")
+    assert _norm(pre_patch) == _norm(cold["triples"])
+    assert m["triples_snapshot_id"] == ids[-1]
     # the manifest is bucket-partitioned too: only the candidate's
     # bucket is rewritten
     man_after = _store_snapshot(store, "manifest")
