@@ -323,6 +323,122 @@ def unigram_surprisal_scores(df: DataFrame, text_col: str = "text",
     )
 
 
+def bigram_lm_scores(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     vocab_size: int = 50_000,
+                     bigram_size: int = 200_000) -> DataFrame:
+    """Interpolated bigram-LM perplexity scores (the CCNet-style
+    quality gate one model order up from unigram_surprisal_scores):
+    per document, mean token surprisal under an equal-weight
+    interpolation of the corpus's own bigram and unigram MLEs,
+
+        p(w_i | w_{i-1}) = (c(w_{i-1} w_i)/c(w_{i-1}) + c(w_i)/T) / 2
+
+    with integer-bit quantization, floor(-log2 p) — the same
+    engine-portability doctrine as the unigram filter (IEEE division
+    and addition are exactly rounded, so p is bit-identical across
+    engines; only log2's final ulp differs, and floor flips only at
+    exact powers of two where log2 is exact everywhere). Token costs:
+
+    * OOV w_i (not in the capped unigram vocab): `oov_bits`
+      (floor(log2 T) + 1), as in the unigram filter.
+    * first token of a document, or OOV w_{i-1}: pure unigram cost
+      floor(log2(T / c(w_i))) — no halving, so a doc of in-vocab
+      tokens with NO modeled bigrams scores exactly one bit above its
+      unigram surprisal (p halves), never below.
+    * unseen bigram over in-vocab tokens: c12 = 0, p = c(w_i)/2T.
+
+    Fluent prose rides frequent bigrams and scores LOW; shuffled-word
+    soup keeps its unigram mass but loses every bigram hit and pays
+    ~1 extra bit per token — exactly the signal a perplexity gate adds
+    over a unigram one.
+
+    100-TB posture: both models are capped, deterministic top-K
+    aggregations (count desc, token asc — TakeOrdered, never a full
+    sort) and BROADCAST to the scoring joins; the only wide exchange
+    over the corpus is the per-doc aggregation, which partial-
+    aggregates map-side. Pairs come from array slicing of the token
+    array (no positional self-join). Model sizes are the knobs: at a
+    10^12-token corpus, raise bigram_size or swap the broadcast for a
+    shuffle join on the pair key — semantics unchanged."""
+    from .dedup import tokens_col
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            tokens_col(F.col(text_col)), lambda x: x != ""
+        ).alias("toks"),
+    ).where(F.size("toks") > 0)
+
+    toks = base.select("id", F.explode("toks").alias("token"))
+    freqs = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    total_row = freqs.agg(F.sum("freq").alias("total")).first()
+    total = int(total_row["total"] or 0)
+    if total == 0:
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id {id_type}, n_tokens int, oov_tokens int, "
+                f"bigram_hits int, sum_bits long, mean_bits double"
+        )
+    oov_bits = int(total).bit_length()
+    vocab = freqs.orderBy(
+        F.col("freq").desc(), F.col("token").asc()
+    ).limit(vocab_size)
+
+    n = F.size("toks")
+    pairs = base.where(n > 1).select(
+        "id",
+        F.explode(F.arrays_zip(
+            F.slice("toks", 1, n - 1).alias("prev"),
+            F.slice("toks", 2, n - 1).alias("cur"),
+        )).alias("p"),
+    ).select("id", F.col("p.prev").alias("prev"),
+             F.col("p.cur").alias("cur"))
+    bigrams = pairs.groupBy("prev", "cur") \
+        .agg(F.count("*").alias("c12")) \
+        .orderBy(F.col("c12").desc(), F.col("prev").asc(),
+                 F.col("cur").asc()) \
+        .limit(bigram_size)
+
+    firsts = base.select(
+        "id", F.lit(None).cast("string").alias("prev"),
+        F.element_at("toks", 1).alias("cur"),
+    )
+    events = firsts.unionByName(pairs)
+
+    vc = vocab.select(F.col("token").alias("cur"),
+                      F.col("freq").alias("c_cur"))
+    vp = vocab.select(F.col("token").alias("prev"),
+                      F.col("freq").alias("c_prev"))
+    j = (
+        events
+        .join(F.broadcast(vc), "cur", "left")
+        .join(F.broadcast(vp), "prev", "left")
+        .join(F.broadcast(bigrams), ["prev", "cur"], "left")
+    )
+    r2 = F.col("c_cur").cast("double") / F.lit(float(total))
+    r1 = (F.coalesce(F.col("c12"), F.lit(0)).cast("double")
+          / F.col("c_prev").cast("double"))
+    p = F.when(
+        F.col("prev").isNull() | F.col("c_prev").isNull(), r2
+    ).otherwise((r1 + r2) / F.lit(2.0))
+    bits = F.when(
+        F.col("c_cur").isNull(), F.lit(oov_bits).cast("long")
+    ).otherwise(F.floor(-F.log2(p)).cast("long"))
+    scored = j.select(
+        "id", bits.alias("bits"),
+        F.when(F.col("c_cur").isNull(), 1).otherwise(0).alias("is_oov"),
+        F.when(F.col("c12").isNotNull(), 1).otherwise(0).alias("is_hit"),
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.sum("is_oov").cast("int").alias("oov_tokens"),
+        F.sum("is_hit").cast("int").alias("bigram_hits"),
+        F.sum("bits").alias("sum_bits"),
+        F.round(F.sum("bits") / F.count("*"), 6).alias("mean_bits"),
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  tokenizer: str = "proxy",

@@ -1245,6 +1245,70 @@ FROM scored GROUP BY id ORDER BY id
 """
 
 
+def q_bigram_lm(spark, sf):
+    """Interpolated bigram-LM perplexity scores (CCNet-style gate one
+    model order above unigram_surprisal) per document."""
+    from .operators.textops import bigram_lm_scores
+
+    d = _t(spark, sf, "documents")
+    return bigram_lm_scores(d).orderBy("id")
+
+
+SQL_BIGRAM_LM = r"""
+WITH base AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+ne AS (SELECT * FROM base WHERE len(toks) > 0),
+tl AS (SELECT id, unnest(toks) AS token FROM ne),
+freqs AS (SELECT token, count(*) AS freq FROM tl GROUP BY 1),
+tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total,
+               CAST(floor(log2(CAST(sum(freq) AS DOUBLE))) AS BIGINT)
+                 + 1 AS oov_bits
+        FROM freqs),
+vocab AS (SELECT token, freq FROM freqs
+          ORDER BY freq DESC, token LIMIT 50000),
+idx AS (SELECT id, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM ne),
+pairs AS (SELECT id, toks[i] AS prev, toks[i + 1] AS cur FROM idx),
+bigrams AS (SELECT prev, cur, count(*) AS c12 FROM pairs
+            GROUP BY 1, 2
+            ORDER BY c12 DESC, prev, cur LIMIT 200000),
+events AS (
+  SELECT id, CAST(NULL AS VARCHAR) AS prev, toks[1] AS cur FROM ne
+  UNION ALL SELECT id, prev, cur FROM pairs),
+j AS (
+  SELECT e.id, e.prev, vc.freq AS c_cur, vp.freq AS c_prev, b.c12
+  FROM events e
+  LEFT JOIN vocab vc ON e.cur = vc.token
+  LEFT JOIN vocab vp ON e.prev = vp.token
+  LEFT JOIN bigrams b ON e.prev = b.prev AND e.cur = b.cur),
+scored AS (
+  SELECT id,
+    CASE WHEN c_cur IS NULL THEN (SELECT oov_bits FROM tot)
+         WHEN prev IS NULL OR c_prev IS NULL THEN
+           CAST(floor(-log2(CAST(c_cur AS DOUBLE)
+                            / (SELECT total FROM tot))) AS BIGINT)
+         ELSE CAST(floor(-log2(
+              (CAST(coalesce(c12, 0) AS DOUBLE) / c_prev
+               + CAST(c_cur AS DOUBLE) / (SELECT total FROM tot))
+              / 2)) AS BIGINT)
+    END AS bits,
+    CASE WHEN c_cur IS NULL THEN 1 ELSE 0 END AS is_oov,
+    CASE WHEN c12 IS NOT NULL THEN 1 ELSE 0 END AS is_hit
+  FROM j)
+SELECT id,
+       CAST(count(*) AS INT) AS n_tokens,
+       CAST(sum(is_oov) AS INT) AS oov_tokens,
+       CAST(sum(is_hit) AS INT) AS bigram_hits,
+       CAST(sum(bits) AS BIGINT) AS sum_bits,
+       round(CAST(sum(bits) AS DOUBLE) / count(*), 6) + 0 AS mean_bits
+FROM scored GROUP BY id ORDER BY id
+"""
+
+
 def q_boilerplate_lines(spark, sf):
     """C4-style segment-level dedup, driven end-to-end (explode ->
     df-count -> anti-join -> ORDER-PRESERVING rebuild). The synthetic
@@ -2511,6 +2575,7 @@ QUERIES = {
     "token_counts": (q_token_counts, SQL_TOKENS),
     "token_counts_bpe": (q_token_counts_bpe, SQL_TOKENS_BPE),
     "unigram_surprisal": (q_unigram_surprisal, SQL_SURPRISAL),
+    "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "doc_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "gazetteer_mentions": (q_gazetteer_mentions, SQL_GAZETTEER),
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_CLUSTERS),

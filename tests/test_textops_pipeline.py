@@ -373,6 +373,100 @@ def test_unigram_surprisal_semantics(spark):
     assert again == {k: v["sum_surprisal_bits"] for k, v in capped.items()}
 
 
+def _py_bigram_bits(corpus, vocab_size=50_000, bigram_size=200_000):
+    """Independent pure-Python replay of bigram_lm_scores' contract."""
+    import math
+    from collections import Counter
+
+    toks = {i: [t for t in text.lower().strip().split() if t]
+            for i, text in corpus}
+    uni = Counter(t for ts in toks.values() for t in ts)
+    total = sum(uni.values())
+    vocab = dict(sorted(
+        uni.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size])
+    big = Counter(
+        (ts[i], ts[i + 1])
+        for ts in toks.values() for i in range(len(ts) - 1))
+    big = dict(sorted(
+        big.items(), key=lambda kv: (-kv[1], kv[0]))[:bigram_size])
+    oov_bits = total.bit_length()
+    out = {}
+    for i, ts in toks.items():
+        if not ts:
+            continue
+        bits = []
+        for k, cur in enumerate(ts):
+            c_cur = vocab.get(cur)
+            if c_cur is None:
+                bits.append(oov_bits)
+                continue
+            prev = ts[k - 1] if k else None
+            c_prev = vocab.get(prev) if prev is not None else None
+            if c_prev is None:
+                p = c_cur / total
+            else:
+                p = (big.get((prev, cur), 0) / c_prev
+                     + c_cur / total) / 2
+            bits.append(math.floor(-math.log2(p)))
+        out[i] = {"n_tokens": len(ts), "sum_bits": sum(bits)}
+    return out
+
+
+def test_bigram_lm_semantics(spark):
+    """Shuffled-word soup keeps its unigram mass but loses every
+    bigram hit — the perplexity gate's added signal; exact sums match
+    an independent pure-Python model replay."""
+    from edgar_finance_ontology_spark.operators.textops import (
+        bigram_lm_scores,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    # same multiset of words, order scrambled (fixed permutation)
+    soup = "mat the on dog and sat rug cat the sat the on the"
+    docs = [(i, fluent) for i in range(6)] + [(50, soup)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: r for r in bigram_lm_scores(df).collect()}
+    # identical unigram content, so the bigram term is the only mover:
+    # the soup's self-contributed singleton bigrams are "hits" too
+    # (the model is corpus-fit), but carry 6x less mass each
+    assert got[50]["n_tokens"] == got[0]["n_tokens"]
+    assert got[50]["mean_bits"] > got[0]["mean_bits"]
+    assert got[0]["oov_tokens"] == 0
+    # capping the bigram model to the head keeps the fluent doc's
+    # (count-6) bigrams and drops the soup's singletons
+    head = {r["id"]: r
+            for r in bigram_lm_scores(df, bigram_size=10).collect()}
+    assert head[50]["bigram_hits"] < head[0]["bigram_hits"]
+    ref_head = _py_bigram_bits(docs, bigram_size=10)
+    for i, r in head.items():
+        assert r["sum_bits"] == ref_head[i]["sum_bits"], i
+
+    # exact agreement with the independent replay, doc by doc
+    ref = _py_bigram_bits(docs)
+    for i, r in got.items():
+        assert r["sum_bits"] == ref[i]["sum_bits"], i
+        assert r["n_tokens"] == ref[i]["n_tokens"], i
+
+    # vocab cap: rare tokens go OOV at the fixed cost; deterministic
+    capped = {r["id"]: r
+              for r in bigram_lm_scores(df, vocab_size=3).collect()}
+    total = sum(r["n_tokens"] for r in got.values())
+    assert capped[50]["oov_tokens"] > 0
+    again = {r["id"]: r["sum_bits"]
+             for r in bigram_lm_scores(df, vocab_size=3).collect()}
+    assert again == {k: v["sum_bits"] for k, v in capped.items()}
+
+    # bigram cap of 0 models nothing: every non-first in-vocab token
+    # pays exactly one extra bit over the op's own unigram branch
+    # (p halves, and floor commutes with the integer shift)
+    nobi = {r["id"]: r
+            for r in bigram_lm_scores(df, bigram_size=0).collect()}
+    ref_nobi = _py_bigram_bits(docs, bigram_size=0)
+    for i, r in nobi.items():
+        assert r["bigram_hits"] == 0
+        assert r["sum_bits"] == ref_nobi[i]["sum_bits"], i
+
+
 def test_cross_source_overlap_df_cap_bounds_pairs(spark):
     """A gram shared by every doc must not join quadratically when the
     df cap is active."""
