@@ -1090,6 +1090,26 @@ def pack_token_shards(df: DataFrame, shard_tokens: int,
     result is identical for ANY partition boundaries, so shard ids are
     deterministic and the packing is resumable; off-by-one-document
     shard boundaries are the accepted greedy trade."""
+    cum = F.col("cum_tokens")
+    return _token_prefix(
+        df, text_col, id_col, order_col, counter, merges_path
+    ).select(
+        "id",
+        "n_tokens",
+        "cum_tokens",
+        F.floor((cum - 1).cast("double") / shard_tokens)
+        .cast("long").alias("shard_id"),
+    )
+
+
+def _token_prefix(df: DataFrame, text_col: str, id_col: str,
+                  order_col: str | None, counter: str,
+                  merges_path: str | None) -> DataFrame:
+    """(id, n_tokens, cum_tokens): each document's token count and the
+    global running total over the deterministic order — the shared
+    distributed-prefix-sum core of pack_token_shards and
+    pack_sequences (see pack_token_shards' docstring for the plan
+    shape and why it is never a SinglePartition window)."""
     from pyspark.sql import Window
 
     from .dedup import tokens_col as _toks
@@ -1154,8 +1174,62 @@ def pack_token_shards(df: DataFrame, shard_tokens: int,
         "id",
         "n_tokens",
         cum.alias("cum_tokens"),
-        F.floor((cum - 1).cast("double") / shard_tokens)
-        .cast("long").alias("shard_id"),
+    )
+
+
+def pack_sequences(df: DataFrame, seq_len: int,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   order_col: str | None = None,
+                   counter: str = "ws",
+                   merges_path: str | None = None) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus's token
+    stream in a deterministic document order and cut it into
+    fixed-length training sequences of `seq_len` tokens, documents
+    spanning cut points split across neighbouring sequences. Returns
+    one row per (sequence, document-slice):
+
+        seq_id   — 0-based sequence index
+        id       — the document
+        doc_from / doc_to — the slice of the doc's tokens in this
+                   sequence (doc-relative, half-open)
+        seq_off  — where the slice starts inside the sequence
+
+    Every sequence is exactly full (sum of its slice widths ==
+    seq_len) except the last; slices partition each document's token
+    range with no gaps or overlaps — both asserted in tests. Empty
+    documents (0 tokens) contribute no slices.
+
+    Plan: the shared distributed prefix sum (_token_prefix — range
+    partition + P-row broadcast offsets, never a SinglePartition
+    window) gives each doc a global token interval [start, cum); the
+    doc then EXPLODES into the floor(start/L)..floor((cum-1)/L)
+    sequences it overlaps — fan-out 1 + n_tokens/L per doc, linear in
+    corpus tokens. Boundary arithmetic is integer DIV on longs (no
+    double rounding at 10^12-token offsets)."""
+    pre = _token_prefix(
+        df, text_col, id_col, order_col, counter, merges_path
+    )
+    L = int(seq_len)
+    if L <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    d = (
+        pre.where(F.col("n_tokens") > 0)
+        .withColumn("_start", F.col("cum_tokens") - F.col("n_tokens"))
+        .withColumn("_first", F.expr(f"_start DIV {L}"))
+        .withColumn("_last", F.expr(f"(cum_tokens - 1) DIV {L}"))
+    )
+    ex = d.select(
+        "id", "_start", "cum_tokens",
+        F.explode(F.sequence("_first", "_last")).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("_start"), F.col("seq_id") * L)
+    hi = F.least(F.col("cum_tokens"), (F.col("seq_id") + 1) * L)
+    return ex.select(
+        "seq_id",
+        "id",
+        (lo - F.col("_start")).alias("doc_from"),
+        (hi - F.col("_start")).alias("doc_to"),
+        (lo - F.col("seq_id") * L).alias("seq_off"),
     )
 
 

@@ -1245,6 +1245,41 @@ FROM scored GROUP BY id ORDER BY id
 """
 
 
+def q_pack_sequences(spark, sf):
+    """GPT-style fixed-length sequence packing of the documents token
+    stream (seq_len=256, ws counter): one row per (sequence,
+    doc-slice) with doc-relative token spans and in-sequence offsets."""
+    from .operators.textops import pack_sequences
+
+    d = _t(spark, sf, "documents")
+    return pack_sequences(d, 256).orderBy("seq_id", "id")
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH counted AS (
+  SELECT doc_id AS id,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+              AS BIGINT) AS n_tokens
+  FROM documents),
+pre AS (
+  SELECT id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED
+           PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM counted),
+d AS (SELECT id, n_tokens, cum, cum - n_tokens AS strt
+      FROM pre WHERE n_tokens > 0),
+ex AS (SELECT id, strt, cum,
+              unnest(generate_series(strt // 256, (cum - 1) // 256))
+                AS seq_id
+       FROM d)
+SELECT seq_id, id,
+       greatest(strt, seq_id * 256) - strt AS doc_from,
+       least(cum, (seq_id + 1) * 256) - strt AS doc_to,
+       greatest(strt, seq_id * 256) - seq_id * 256 AS seq_off
+FROM ex ORDER BY seq_id, id
+"""
+
+
 def q_bigram_lm(spark, sf):
     """Interpolated bigram-LM perplexity scores (CCNet-style gate one
     model order above unigram_surprisal) per document."""
@@ -2576,6 +2611,7 @@ QUERIES = {
     "token_counts_bpe": (q_token_counts_bpe, SQL_TOKENS_BPE),
     "unigram_surprisal": (q_unigram_surprisal, SQL_SURPRISAL),
     "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "doc_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "gazetteer_mentions": (q_gazetteer_mentions, SQL_GAZETTEER),
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_CLUSTERS),

@@ -1,6 +1,7 @@
 """Unit semantics for the round-2 training-data ops: repetition
 scoring, cross-source decontamination, PII scrubbing."""
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -371,6 +372,62 @@ def test_unigram_surprisal_semantics(spark):
     again = {r["id"]: r["sum_surprisal_bits"]
              for r in unigram_surprisal_scores(df, vocab_size=5).collect()}
     assert again == {k: v["sum_surprisal_bits"] for k, v in capped.items()}
+
+
+def test_pack_sequences_invariants(spark):
+    """Fixed-length packing: every sequence but the last is exactly
+    full; slices partition each doc's token range contiguously;
+    in-sequence offsets are consistent; partitioning never moves a
+    cut point."""
+    from edgar_finance_ontology_spark.operators.textops import (
+        pack_sequences,
+    )
+
+    docs = [(i, " ".join(f"w{i}t{j}" for j in range((i * 7) % 23 + 1)))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    L = 16
+    rows = pack_sequences(df, L).collect()
+
+    by_seq: dict = {}
+    by_doc: dict = {}
+    for r in rows:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+        by_doc.setdefault(r["id"], []).append(r)
+
+    n_total = sum((i * 7) % 23 + 1 for i in range(40))
+    assert max(by_seq) == (n_total - 1) // L
+    for sid, slices in by_seq.items():
+        width = sum(r["doc_to"] - r["doc_from"] for r in slices)
+        assert width == (L if sid < max(by_seq) else n_total - sid * L)
+        # offsets tile the sequence: sorted by seq_off, each slice
+        # starts where the previous ended
+        slices.sort(key=lambda r: r["seq_off"])
+        pos = 0
+        for r in slices:
+            assert r["seq_off"] == pos, (sid, r)
+            pos += r["doc_to"] - r["doc_from"]
+
+    for i, slices in by_doc.items():
+        n = (i * 7) % 23 + 1
+        slices.sort(key=lambda r: r["seq_id"])
+        # contiguous partition of [0, n): starts at 0, ends at n,
+        # each slice resumes where the previous stopped, consecutive
+        # sequence ids
+        assert slices[0]["doc_from"] == 0
+        assert slices[-1]["doc_to"] == n
+        for a, b in zip(slices, slices[1:]):
+            assert b["doc_from"] == a["doc_to"]
+            assert b["seq_id"] == a["seq_id"] + 1
+
+    # partition invariance: the cut points are a pure function of the
+    # deterministic doc order, not of physical layout
+    alt = pack_sequences(df.repartition(7), L).collect()
+    key = lambda r: (r["seq_id"], r["id"])  # noqa: E731
+    assert sorted(map(tuple, alt)) == sorted(map(tuple, rows))
+
+    with pytest.raises(ValueError):
+        pack_sequences(df, 0)
 
 
 def _py_bigram_bits(corpus, vocab_size=50_000, bigram_size=200_000):
