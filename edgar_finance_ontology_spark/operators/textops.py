@@ -439,6 +439,51 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
     )
 
 
+def perplexity_buckets(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       lo: float = 0.0, hi: float = 32.0,
+                       n_buckets: int = 512,
+                       vocab_size: int = 50_000,
+                       bigram_size: int = 200_000) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    interpolated bigram LM (bigram_lm_scores), estimate the corpus's
+    1/3- and 2/3-quantiles of mean surprisal with the fixed-width
+    histogram sketch (histogram_quantiles — O(B) state, explicit
+    one-bucket error), and assign each doc to
+
+        head   — mean_bits <= p33 (most fluent third)
+        middle — p33 < mean_bits <= p67
+        tail   — the rest (least fluent / most surprising)
+
+    the split CCNet uses to stratify Common-Crawl quality. Thresholds
+    are two driver-side scalars read from the sketch's single rollup
+    row; the per-doc pass is one broadcast-free select over the score
+    frame. The cut points inherit the sketch's one-bucket-width error
+    — (hi-lo)/n_buckets bits, 1/16 bit at the defaults — which is the
+    right trade at 10^12 docs where an exact global quantile means a
+    corpus-wide range sort."""
+    from .sketches import histogram_quantiles
+
+    scores = bigram_lm_scores(
+        df, text_col, id_col, vocab_size, bigram_size
+    )
+    th = histogram_quantiles(
+        scores, "mean_bits", None, lo, hi, n_buckets,
+        quantiles=(1 / 3, 2 / 3),
+    ).first()
+    if th is None:  # empty corpus: typed empty frame, no thresholds
+        return scores.limit(0).select("id", "mean_bits") \
+            .withColumn("ppx_bucket", F.lit(""))
+    p33, p67 = float(th["p33"]), float(th["p67"])
+    return scores.select(
+        "id",
+        "mean_bits",
+        F.when(F.col("mean_bits") <= p33, "head")
+        .when(F.col("mean_bits") <= p67, "middle")
+        .otherwise("tail").alias("ppx_bucket"),
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  tokenizer: str = "proxy",

@@ -1289,8 +1289,10 @@ def q_bigram_lm(spark, sf):
     return bigram_lm_scores(d).orderBy("id")
 
 
-SQL_BIGRAM_LM = r"""
-WITH base AS (
+# the bigram model fit + per-doc scoring as a reusable CTE chain
+# (ends at `docscores`) — shared by the score query and the
+# perplexity-bucket query so the twins cannot drift
+_SQL_BIGRAM_CORE = r"""base AS (
   SELECT doc_id AS id,
          list_filter(string_split_regex(trim(lower(text)), '\s+'),
                      x -> x <> '') AS toks
@@ -1333,15 +1335,58 @@ scored AS (
     END AS bits,
     CASE WHEN c_cur IS NULL THEN 1 ELSE 0 END AS is_oov,
     CASE WHEN c12 IS NOT NULL THEN 1 ELSE 0 END AS is_hit
-  FROM j)
-SELECT id,
-       CAST(count(*) AS INT) AS n_tokens,
-       CAST(sum(is_oov) AS INT) AS oov_tokens,
-       CAST(sum(is_hit) AS INT) AS bigram_hits,
-       CAST(sum(bits) AS BIGINT) AS sum_bits,
-       round(CAST(sum(bits) AS DOUBLE) / count(*), 6) + 0 AS mean_bits
-FROM scored GROUP BY id ORDER BY id
+  FROM j),
+docscores AS (
+  SELECT id,
+         CAST(count(*) AS INT) AS n_tokens,
+         CAST(sum(is_oov) AS INT) AS oov_tokens,
+         CAST(sum(is_hit) AS INT) AS bigram_hits,
+         CAST(sum(bits) AS BIGINT) AS sum_bits,
+         round(CAST(sum(bits) AS DOUBLE) / count(*), 6) + 0 AS mean_bits
+  FROM scored GROUP BY id)"""
+
+SQL_BIGRAM_LM = (
+    "WITH " + _SQL_BIGRAM_CORE
+    + "\nSELECT * FROM docscores ORDER BY id"
+)
+
+
+def q_perplexity_buckets(spark, sf):
+    """CCNet-style head/middle/tail perplexity split: bigram-LM scores
+    + histogram-sketch 1/3 and 2/3 quantile thresholds."""
+    from .operators.textops import perplexity_buckets
+
+    d = _t(spark, sf, "documents")
+    return perplexity_buckets(d).orderBy("id")
+
+
+# histogram replay mirrors histogram_quantiles' arithmetic exactly:
+# width = 32/512 = 0.0625 (exact binary), clamp in double before
+# floor, rank = greatest(1, ceil(q*n)), answer = upper bucket edge
+SQL_PPX_BUCKETS = (
+    "WITH " + _SQL_BIGRAM_CORE + r""",
+hist AS (
+  SELECT CAST(floor(least(511.0, greatest(0.0, mean_bits / 0.0625)))
+              AS INT) AS bucket, count(*) AS c
+  FROM docscores GROUP BY 1),
+n_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+cdf AS (SELECT bucket,
+               CAST(sum(c) OVER (ORDER BY bucket) AS BIGINT) AS cum
+        FROM hist),
+th AS (
+  SELECT
+    round((min(CASE WHEN cum >= greatest(1, ceil(n * (1.0/3.0)))
+               THEN bucket END) + 1) * 0.0625, 6) + 0 AS p33,
+    round((min(CASE WHEN cum >= greatest(1, ceil(n * (2.0/3.0)))
+               THEN bucket END) + 1) * 0.0625, 6) + 0 AS p67
+  FROM cdf, n_tot)
+SELECT id, mean_bits,
+       CASE WHEN mean_bits <= (SELECT p33 FROM th) THEN 'head'
+            WHEN mean_bits <= (SELECT p67 FROM th) THEN 'middle'
+            ELSE 'tail' END AS ppx_bucket
+FROM docscores ORDER BY id
 """
+)
 
 
 def q_boilerplate_lines(spark, sf):
@@ -2612,6 +2657,7 @@ QUERIES = {
     "unigram_surprisal": (q_unigram_surprisal, SQL_SURPRISAL),
     "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "perplexity_buckets": (q_perplexity_buckets, SQL_PPX_BUCKETS),
     "doc_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "gazetteer_mentions": (q_gazetteer_mentions, SQL_GAZETTEER),
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_CLUSTERS),

@@ -524,6 +524,43 @@ def test_bigram_lm_semantics(spark):
         assert r["sum_bits"] == ref_nobi[i]["sum_bits"], i
 
 
+def test_perplexity_buckets_semantics(spark):
+    """Head/middle/tail split is monotone in mean_bits; fluent
+    repeated prose lands in head, OOV soup in tail."""
+    from edgar_finance_ontology_spark.operators.textops import (
+        perplexity_buckets,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    docs = (
+        [(i, fluent) for i in range(8)]
+        + [(40 + i, f"one two three four five alpha{i} beta{i}")
+           for i in range(4)]
+        + [(90 + i, f"zzq{i} wvx{i} kjh{i} pfl{i} xrt{i} mnb{i}")
+           for i in range(4)]
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = perplexity_buckets(df).collect()
+    assert len(rows) == len(docs)
+    by_bucket: dict = {}
+    for r in rows:
+        assert r["ppx_bucket"] in ("head", "middle", "tail")
+        by_bucket.setdefault(r["ppx_bucket"], []).append(r["mean_bits"])
+    # monotone: every head score <= every middle score <= every tail
+    if "head" in by_bucket and "middle" in by_bucket:
+        assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    if "middle" in by_bucket and "tail" in by_bucket:
+        assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    got = {r["id"]: r["ppx_bucket"] for r in rows}
+    assert got[0] == "head"          # fluent, repeated 8x
+    assert got[90] == "tail"         # rare-token soup
+    # empty corpus: typed empty frame, no driver blow-up
+    empty = perplexity_buckets(df.limit(0))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema] == [
+        "id", "mean_bits", "ppx_bucket"]
+
+
 def test_cross_source_overlap_df_cap_bounds_pairs(spark):
     """A gram shared by every doc must not join quadratically when the
     df cap is active."""
