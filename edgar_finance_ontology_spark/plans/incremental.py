@@ -90,6 +90,7 @@ def run_incremental(
     n_cik_buckets: int = 64,
     include_industry_scope: bool = False,
     include_sector_scope: bool = False,
+    expire_keep: int | None = None,
     **pipeline_kw,
 ) -> dict:
     """Process `pages` against the stores under `store_dir`; first run
@@ -388,6 +389,13 @@ def run_incremental(
                     and pv.get("cik_bucket") in dirty_bucket_set)
             ),
         )
+        if expire_keep is not None:
+            # rolling-crawl storage bound: a maintenance loop that
+            # snapshots every micro-batch would otherwise retain every
+            # superseded bucket file forever
+            metrics["triples_expire"] = snapshots.expire_snapshots(
+                tri_dir, keep_last=expire_keep
+            )
         _tick("triples_patch")
         # -- 7. commit the manifest: patch only candidate buckets ----
         m_out = m_cand.withColumn(

@@ -44,6 +44,13 @@ def main():
              "triples table and Turtle render from the patched store "
              "(byte-identical to a full rebuild)",
     )
+    ap.add_argument(
+        "--expire-keep", type=int, default=None,
+        help="with --incremental-store: after a patch commit, expire "
+             "all but the newest N triple-table snapshots and delete "
+             "unreferenced data files (bounds rolling-crawl storage; "
+             "default keeps every snapshot for time travel)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -86,6 +93,7 @@ def main():
             spark, pages, args.fy, args.incremental_store,
             include_industry_scope=args.include_industry_scope,
             include_sector_scope=args.include_sector_scope,
+            expire_keep=args.expire_keep,
             tol_days=args.fy_tol_days, prefer_unit=args.prefer_unit,
         )
         companies = t["companies"]

@@ -192,6 +192,33 @@ def test_late_page_rederives_exactly_one_company(spark, inc_world):
     )
 
 
+def test_expire_keep_bounds_snapshot_storage(spark, tmp_path):
+    """expire_keep=1 drops superseded snapshots after the patch commit
+    and deletes every unreferenced data file, leaving exactly the live
+    file set — with the maintained world still equal to scratch."""
+    from edgar_finance_ontology_spark.plans import snapshots
+
+    store = str(tmp_path / "store")
+    pages = _pages(spark)
+    cold = run_incremental(spark, pages, 2024, store)
+    cik10, late = _late_page_row(spark, cold["observations"])
+    late_pages = pages.unionByName(late)
+    inc2 = run_incremental(
+        spark, late_pages, 2024, store, expire_keep=1
+    )
+    assert inc2["metrics"]["triples_expire"]["expired_snapshots"] == 1
+    tri_root = pathlib.Path(store) / "triples"
+    ids = snapshots.snapshot_ids(tri_root)
+    assert len(ids) == 1
+    live = {f["path"]
+            for f in snapshots.snapshot_meta(tri_root, ids[0])["files"]}
+    on_disk = {str(p.relative_to(tri_root))
+               for p in (tri_root / "data").rglob("*.parquet")}
+    assert on_disk == live
+    scratch = _scratch(spark, late_pages)
+    assert _norm(inc2["triples"]) == _norm(scratch["triples"])
+
+
 def test_streaming_incremental_maintenance(spark, tmp_path):
     """Rolling-crawl mode: pages arrive as files; each AvailableNow
     drain applies company-grain patches exactly once. A late-page file
