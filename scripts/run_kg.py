@@ -24,6 +24,12 @@ def main():
     ap.add_argument("--fy", type=int, default=2024)
     ap.add_argument("--out", required=True)
     ap.add_argument("--pages-dir", default=None)
+    ap.add_argument(
+        "--pages-warc", default=None,
+        help="read input pages from WARC files (glob; plain or "
+             "Common-Crawl member-per-record gzip) instead of parquet "
+             "or the synthetic panel",
+    )
     ap.add_argument("--n-companies", type=int, default=12)
     ap.add_argument("--include-industry-scope", action="store_true")
     ap.add_argument("--include-sector-scope", action="store_true")
@@ -80,7 +86,13 @@ def main():
     from edgar_finance_ontology_spark.sources.pages import synthesize_pages
 
     t0 = time.monotonic()
-    if args.pages_dir:
+    if args.pages_warc:
+        from edgar_finance_ontology_spark.sources.warc import (
+            read_warc_files,
+        )
+
+        pages = read_warc_files(spark, args.pages_warc)
+    elif args.pages_dir:
         pages = spark.read.parquet(args.pages_dir)
     else:
         pages = synthesize_pages(spark, n_companies=args.n_companies)

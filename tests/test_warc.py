@@ -92,6 +92,39 @@ def test_cc_style_member_per_record_gzip():
     assert list(warc_pages(members[:-8]))[0][0] == "http://x.test/1"
 
 
+def test_warc_roundtrip_matches_native_pipeline_inputs(spark, tmp_path):
+    """Writing the synthetic panel's pages INTO a WARC container and
+    reading them back through the WARC source yields the same
+    extracted facts/companies as the native pages frame — the
+    source-format boundary adds and loses nothing."""
+    from edgar_finance_ontology_spark.plans.web_pipeline import (
+        pages_to_inputs,
+    )
+    from edgar_finance_ontology_spark.sources.pages import (
+        synthesize_pages,
+    )
+
+    native = synthesize_pages(spark, n_companies=2)
+    buf = b"".join(
+        gzip.compress(_rec(
+            "response", url=r["url"],
+            date=r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+            payload=_http(bytes(r["html"])),
+        ))
+        for r in native.collect()
+    )
+    (tmp_path / "panel.warc.gz").write_bytes(buf)
+    via_warc = read_warc_files(spark, str(tmp_path / "panel.warc.gz"))
+
+    def norm(t):
+        facts, companies = t
+        return (sorted(map(tuple, facts.collect())),
+                sorted(map(tuple, companies.collect())))
+
+    assert norm(pages_to_inputs(via_warc)) == norm(
+        pages_to_inputs(native))
+
+
 def test_read_warc_files_feeds_extraction(spark, tmp_path):
     (tmp_path / "a.warc").write_bytes(_warc_buf())
     (tmp_path / "b.warc.gz").write_bytes(gzip.compress(_rec(
