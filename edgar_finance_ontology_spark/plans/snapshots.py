@@ -255,10 +255,17 @@ def read_snapshot(
 def expire_snapshots(root, keep_last: int = 2) -> dict:
     """Drop all but the newest `keep_last` snapshots' metadata, then
     delete every data file no surviving snapshot references — including
-    orphans left by crashed commits. Returns counts."""
+    orphans left by crashed commits. Returns counts. `keep_last` must
+    be >= 1: expiry is a retention policy, not a table drop (Iceberg's
+    expire_snapshots has the same floor)."""
+    if keep_last < 1:
+        raise ValueError(
+            f"keep_last must be >= 1, got {keep_last} — expiring every "
+            "snapshot would delete the table"
+        )
     root = pathlib.Path(root)
     ids = snapshot_ids(root)
-    expired = ids[:-keep_last] if keep_last > 0 else ids
+    expired = ids[:-keep_last]
     survivors = ids[len(expired):]
     live = set()
     for sid in survivors:

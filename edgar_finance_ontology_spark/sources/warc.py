@@ -140,8 +140,12 @@ def read_warc_files(spark: SparkSession, path: str) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["url", "warc_ts", "html", "text", "lang"]
         for pdf in batches:
-            rows = [r for content in pdf["content"]
-                    for r in warc_pages(bytes(content))]
-            yield pd.DataFrame(rows, columns=cols)
+            # one output frame PER FILE: an Arrow batch can carry
+            # several whole segments, and holding every decoded page
+            # of all of them at once would multiply peak memory
+            for content in pdf["content"]:
+                yield pd.DataFrame(
+                    list(warc_pages(bytes(content))), columns=cols
+                )
 
     return files.mapInPandas(run, schema=PAGES_SCHEMA)
