@@ -1,0 +1,80 @@
+"""Web link graph: href extraction forms, domain contraction, and the
+hub-wins PageRank composition."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from edgar_finance_ontology_spark.operators.webgraph import (
+    domain_edges,
+    domain_pagerank,
+    extract_links,
+)
+
+
+def _pages(spark, rows):
+    ts = dt.datetime(2025, 3, 1)
+    return spark.createDataFrame(
+        [(u, ts, h.encode(), None, "en") for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    )
+
+
+def test_extract_links_forms(spark):
+    html = (
+        '<a href="https://a.test/x">x</a>'
+        "<a href='http://b.test/y'>y</a>"
+        '<a href = "//c.test/z">proto-relative</a>'
+        '<a href="/relative/path">dropped</a>'
+        '<a href="#frag">dropped</a>'
+        '<a href="mailto:x@y.z">dropped</a>'
+        '<a href="HTTPS://UPPER.test/">kept</a>'
+    )
+    pages = _pages(spark, [("https://src.test/page", html)])
+    got = {r["dst"] for r in extract_links(pages).collect()}
+    assert got == {
+        "https://a.test/x", "http://b.test/y",
+        "https://c.test/z",          # src scheme resolved
+        "HTTPS://UPPER.test/",
+    }
+    assert all(r["src"] == "https://src.test/page"
+               for r in extract_links(pages).collect())
+
+
+def test_domain_edges_contract_and_self_loops(spark):
+    pages = _pages(spark, [
+        ("https://www.news.test/a",
+         '<a href="https://www.news.test/b">self</a>'
+         '<a href="https://blog.hub.test/p">1</a>'
+         '<a href="https://hub.test/q">2</a>'),
+    ])
+    edges = {(r["src"], r["dst"]): r["n_links"]
+             for r in domain_edges(extract_links(pages)).collect()}
+    # same registrable domain (www.news.test -> news.test) is a
+    # self-loop and dropped; the two hub links contract to ONE domain
+    # edge with n_links=2
+    assert edges == {("news.test", "hub.test"): 2}
+
+
+def test_domain_pagerank_hub_wins(spark):
+    # DAG star (exact convergence in depth+1 synchronous rounds —
+    # a back-link would make the star near-bipartite and oscillate at
+    # even iteration counts): five spoke domains link to the hub
+    rows = []
+    for i in range(5):
+        rows.append((
+            f"https://s{i}.test/",
+            '<a href="https://hub.test/">h</a>'
+            '<a href="https://peer.test/">p</a>',
+        ))
+    rows.append(("https://peer.test/", "<p>no links</p>"))
+    pr = domain_pagerank(_pages(spark, rows), iters=4)
+    ranks = {r["id"]: r["rank_units"] for r in pr.collect()}
+    # hub and peer each receive all five spokes' (split) outflow and
+    # must outrank every spoke; split flow ties them exactly
+    for i in range(5):
+        assert ranks["hub.test"] > ranks[f"s{i}.test"]
+    assert ranks["hub.test"] == ranks["peer.test"]
