@@ -1803,23 +1803,28 @@ def q_pagerank_neardup(spark, sf):
 
 
 def _sql_pagerank(iters: int = 4, scale: int = 1_000_000,
-                  num: int = 17, den: int = 20) -> str:
-    """Twin: the shared near-dup `sym` edge CTEs, then the integer
-    PageRank recurrence unrolled — every engine-side op is an integer
-    multiply / floor divide / sum, so the replay is bit-exact."""
+                  num: int = 17, den: int = 20, *,
+                  prelude: str | None = None,
+                  edges: str = "sym", a: str = "a",
+                  b: str = "b") -> str:
+    """Twin generator: a prelude defining `nodes(id)` and an edge CTE,
+    then the integer PageRank recurrence unrolled — every engine-side
+    op is an integer multiply / floor divide / sum, so the replay is
+    bit-exact. Defaults replay the shared near-dup `sym` edges; the
+    domain-graph twin passes its own prelude/edge names."""
     teleport = (scale * (den - num)) // den
     parts = [
-        f"WITH {_CLUSTER_CTES}",
-        "deg AS (SELECT a AS src, count(*)::BIGINT AS deg "
-        "FROM sym GROUP BY 1)",
+        prelude if prelude is not None else f"WITH {_CLUSTER_CTES}",
+        f"deg AS (SELECT {a} AS src, count(*)::BIGINT AS deg "
+        f"FROM {edges} GROUP BY 1)",
         f"r0 AS (SELECT id, {scale}::BIGINT AS r FROM nodes)",
     ]
     for i in range(iters):
         parts.append(f"""r{i + 1} AS (
   SELECT n.id, ({teleport} + coalesce(c.s, 0))::BIGINT AS r
   FROM nodes n LEFT JOIN (
-    SELECT s.b AS id, sum(({num} * r.r) // ({den} * d.deg))::BIGINT AS s
-    FROM sym s JOIN r{i} r ON r.id = s.a JOIN deg d ON d.src = s.a
+    SELECT s.{b} AS id, sum(({num} * r.r) // ({den} * d.deg))::BIGINT AS s
+    FROM {edges} s JOIN r{i} r ON r.id = s.{a} JOIN deg d ON d.src = s.{a}
     GROUP BY 1) c USING (id))""")
     return ",\n".join(parts) + f"""
 SELECT id, r AS rank_units FROM r{iters} ORDER BY id
@@ -1827,6 +1832,51 @@ SELECT id, r AS rank_units FROM r{iters} ORDER BY id
 
 
 SQL_PAGERANK = _sql_pagerank()
+
+
+def q_domain_pagerank(spark, sf):
+    """Domain-level PageRank over a deterministic synthetic link graph
+    derived from document ids: page d(i%40).test carries one double-
+    and one single-quoted href to d((7i+1)%40).test / d((13i+3)%40)
+    .test — both engines construct the identical graph from the same
+    table, then the full chain (href extraction, domain contraction,
+    self-loop drop, integer PageRank) replays end-to-end."""
+    from .operators.webgraph import domain_pagerank
+
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://d"), (i % 40).cast("string"),
+                   F.lit(".test/p"))
+    html = F.concat(
+        F.lit('<a href="https://d'),
+        ((i * 7 + 1) % 40).cast("string"), F.lit('.test/x">a</a>'),
+        F.lit("<a href='https://d"),
+        ((i * 13 + 3) % 40).cast("string"), F.lit(".test/y'>b</a>"),
+    )
+    pages = _t(spark, sf, "documents").select(
+        url.alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    return domain_pagerank(pages, iters=4).orderBy("id")
+
+
+_DOMAIN_EDGE_PRELUDE = r"""WITH pg AS (
+  SELECT doc_id % 40 AS sd, (doc_id * 7 + 1) % 40 AS d1,
+         (doc_id * 13 + 3) % 40 AS d2
+  FROM documents),
+lk AS (
+  SELECT 'd' || sd || '.test' AS src, 'd' || d1 || '.test' AS dst
+  FROM pg
+  UNION ALL
+  SELECT 'd' || sd || '.test', 'd' || d2 || '.test' FROM pg),
+ed AS (SELECT DISTINCT src, dst FROM lk WHERE src <> dst),
+nodes AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed)"""
+
+SQL_DOMAIN_PAGERANK = _sql_pagerank(
+    prelude=_DOMAIN_EDGE_PRELUDE, edges="ed", a="src", b="dst",
+)
 
 
 def q_dedup_keep_best(spark, sf):
@@ -2658,6 +2708,7 @@ QUERIES = {
     "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PPX_BUCKETS),
+    "domain_pagerank": (q_domain_pagerank, SQL_DOMAIN_PAGERANK),
     "doc_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "gazetteer_mentions": (q_gazetteer_mentions, SQL_GAZETTEER),
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_CLUSTERS),
