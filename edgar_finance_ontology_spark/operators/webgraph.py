@@ -88,6 +88,66 @@ def domain_edges(links: DataFrame,
     )
 
 
+# full <a> tag with its text: group 1 = href value, group 2 = anchor
+# text (nearest-tag body, no nested markup)
+_ANCHOR_DQ = r'<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>'
+_ANCHOR_SQ = r"<a\s[^>]*href\s*=\s*'([^']*)'[^>]*>([^<]*)</a>"
+
+
+def extract_anchors(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """(src, dst, anchor) hyperlink edges WITH their anchor text — the
+    classic alias-evidence signal for entity linking (the text the web
+    uses to refer to a link target). Href and text come from the SAME
+    regex pass (group 1 / group 2), so the two arrays align by
+    construction and zip positionally; both quote styles are covered.
+    Only absolute http(s) targets are kept (see extract_links on why
+    relative targets don't matter at this grain)."""
+    h = _html_str(F.col(html_col))
+
+    def pairs(pat):
+        return F.arrays_zip(
+            F.regexp_extract_all(h, F.lit(pat), 1).alias("dst"),
+            F.regexp_extract_all(h, F.lit(pat), 2).alias("anchor"),
+        )
+
+    out = pages.select(
+        F.col(url_col).alias("src"),
+        F.explode(
+            F.concat(pairs(_ANCHOR_DQ), pairs(_ANCHOR_SQ))
+        ).alias("p"),
+    ).select(
+        "src", F.col("p.dst").alias("dst"),
+        F.col("p.anchor").alias("anchor"),
+    )
+    return out.where(F.col("dst").rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://"))
+
+
+def anchor_alias_counts(anchors: DataFrame,
+                        suffix_file: str | None = None) -> DataFrame:
+    """(entity_domain, alias, n) — how often each normalized anchor
+    string names each registrable target domain, aggregated web-wide.
+    This is the prior-evidence table the entity-linking stage consumes
+    (alias strings with high counts for one domain are strong link
+    candidates; operators/linking.py's scorer takes exactly such a
+    candidate table). Normalization: lower, trim, inner whitespace
+    collapsed; empty anchors dropped. One map-side-combined exchange
+    on (domain, alias)."""
+    alias = F.regexp_replace(
+        F.trim(F.lower(F.col("anchor"))), r"\s+", " "
+    )
+    e = anchors.select(
+        registrable_domain(F.col("dst"), suffix_file=suffix_file)
+        .alias("entity_domain"),
+        alias.alias("alias"),
+    ).where(
+        F.col("entity_domain").isNotNull() & (F.col("alias") != "")
+    )
+    return e.groupBy("entity_domain", "alias").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
 def domain_pagerank(pages: DataFrame, iters: int = 5,
                     suffix_file: str | None = None,
                     url_col: str = "url",

@@ -59,6 +59,38 @@ def test_domain_edges_contract_and_self_loops(spark):
     assert edges == {("news.test", "hub.test"): 2}
 
 
+def test_extract_anchors_alignment_and_alias_counts(spark):
+    from edgar_finance_ontology_spark.operators.webgraph import (
+        anchor_alias_counts,
+        extract_anchors,
+    )
+
+    html = (
+        '<a class="x" href="https://acme.test/a">Acme  Corp</a>'
+        "<a href='https://acme.test/b'>ACME corp</a>"
+        '<a href="https://other.test/">Other</a>'
+        '<a href="/rel">dropped</a>'
+        '<a href="https://acme.test/c"></a>'  # empty anchor
+    )
+    pages = _pages(spark, [("https://src.test/", html)])
+    got = {(r["dst"], r["anchor"])
+           for r in extract_anchors(pages).collect()}
+    # href and text come from the same match: alignment is positional
+    assert got == {
+        ("https://acme.test/a", "Acme  Corp"),
+        ("https://acme.test/b", "ACME corp"),
+        ("https://other.test/", "Other"),
+        ("https://acme.test/c", ""),
+    }
+    counts = {(r["entity_domain"], r["alias"]): r["n"]
+              for r in anchor_alias_counts(
+                  extract_anchors(pages)).collect()}
+    # case + whitespace normalize collapses both Acme anchors; the
+    # empty anchor is dropped
+    assert counts == {("acme.test", "acme corp"): 2,
+                      ("other.test", "other"): 1}
+
+
 def test_domain_pagerank_hub_wins(spark):
     # DAG star (exact convergence in depth+1 synchronous rounds —
     # a back-link would make the star near-bipartite and oscillate at
