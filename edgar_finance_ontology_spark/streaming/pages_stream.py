@@ -235,3 +235,80 @@ def stream_incremental_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_domain_edges(
+    spark: SparkSession,
+    pages_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    suffix_file: str | None = None,
+):
+    """Rolling-crawl maintenance of the domain link graph: each
+    AvailableNow micro-batch of page files contracts its hyperlinks to
+    (src, dst, n_links) and APPENDS them under its batch_id — the same
+    sum-merge log contract as the histogram/count-min sketch logs
+    (streaming/sketch_stream.py): the file-source checkpoint delivers
+    each page file to exactly one batch_id, a crash-replayed batch
+    re-appends under the SAME id, and fold-on-read dedups by
+    (batch_id, src, dst) before summing, so at-least-once delivery
+    composes to exactly-once edge counts."""
+    from ..operators.webgraph import domain_edges, extract_links
+
+    pages = read_pages_stream(spark, pages_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        domain_edges(extract_links(batch_df), suffix_file) \
+            .withColumn("batch_id", F.lit(batch_id).cast("long")) \
+            .write.mode("append").parquet(store_dir)
+
+    return (
+        pages.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_domain_graph(spark: SparkSession, store_dir: str) -> DataFrame:
+    """(src, dst, n_links) over everything ever streamed — identical
+    to batch domain_edges on the union of all pages (each batch's
+    contribution summed exactly once via batch-id dedup)."""
+    log = spark.read.parquet(store_dir)
+    return (
+        log.dropDuplicates(["batch_id", "src", "dst"])
+        .groupBy("src", "dst")
+        .agg(F.sum("n_links").cast("long").alias("n_links"))
+    )
+
+
+def read_domain_pagerank(spark: SparkSession, store_dir: str,
+                         iters: int = 5) -> DataFrame:
+    """Domain PageRank over the maintained edge log. PR runs on the
+    DISTINCT edge set, so it matches the batch composition
+    domain_pagerank() exactly for the same accumulated pages."""
+    from ..operators.graphs import pagerank_int
+
+    return pagerank_int(
+        read_domain_graph(spark, store_dir).select("src", "dst"),
+        iters=iters,
+    )
+
+
+def compact_domain_store(spark: SparkSession, store_dir: str) -> int:
+    """Fold the edge log to one generation under batch_id −1. Same
+    replay-window constraint as the sketch-store compactions: run only
+    after a completed AvailableNow drain (SUM is not idempotent)."""
+    from .sketch_stream import _compact
+
+    def fold(df: DataFrame) -> DataFrame:
+        return (
+            df.dropDuplicates(["batch_id", "src", "dst"])
+            .groupBy("src", "dst")
+            .agg(F.sum("n_links").cast("long").alias("n_links"))
+            .withColumn("batch_id", F.lit(-1).cast("long"))
+        )
+
+    return _compact(spark, store_dir, fold)
