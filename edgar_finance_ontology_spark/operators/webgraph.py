@@ -148,6 +148,25 @@ def anchor_alias_counts(anchors: DataFrame,
     )
 
 
+def anchor_candidates(alias_counts: DataFrame) -> DataFrame:
+    """(surface, entity_id, prior): the anchor-commonness prior
+    P(entity | alias) — each alias's count share across the domains it
+    names (the classic Wikipedia-anchor linking prior, computed here
+    from web-wide href evidence instead of a curated dump). Output is
+    shaped for link_mentions' candidate table (operators/linking.py),
+    so the web graph feeds the north-star linking stage directly.
+    The per-alias window is bounded by the handful of domains an alias
+    actually names — no corpus-scale window frames."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("alias")
+    return alias_counts.select(
+        F.col("alias").alias("surface"),
+        F.col("entity_domain").alias("entity_id"),
+        (F.col("n") / F.sum("n").over(w)).alias("prior"),
+    )
+
+
 def domain_pagerank(pages: DataFrame, iters: int = 5,
                     suffix_file: str | None = None,
                     url_col: str = "url",

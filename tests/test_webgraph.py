@@ -91,6 +91,50 @@ def test_extract_anchors_alignment_and_alias_counts(spark):
                       ("other.test", "other"): 1}
 
 
+def test_anchor_commonness_prior_feeds_linking(spark):
+    """End-to-end north-star stages 2-3 from web evidence alone: the
+    anchor-commonness prior P(entity|alias) built from hrefs breaks a
+    context tie in link_mentions toward the domain the web names more
+    often."""
+    from edgar_finance_ontology_spark.operators.linking import (
+        link_mentions,
+    )
+    from edgar_finance_ontology_spark.operators.webgraph import (
+        anchor_alias_counts,
+        anchor_candidates,
+        extract_anchors,
+    )
+
+    html = (
+        '<a href="https://acme.test/1">Acme</a>'
+        '<a href="https://acme.test/2">Acme</a>'
+        '<a href="https://acme.test/3">Acme</a>'
+        '<a href="https://acmeclone.test/">Acme</a>'
+    )
+    pages = _pages(spark, [("https://src.test/", html)])
+    cand = anchor_candidates(
+        anchor_alias_counts(extract_anchors(pages)))
+    priors = {(r["surface"], r["entity_id"]): r["prior"]
+              for r in cand.collect()}
+    assert priors[("acme", "acme.test")] == 0.75
+    assert priors[("acme", "acmeclone.test")] == 0.25
+
+    # identical profile texts -> identical context cosine; the prior
+    # must decide
+    mentions = spark.createDataFrame(
+        [("m1", "quarterly widget revenue", "acme")],
+        "mention_id string, context_text string, surface string",
+    )
+    profiles = spark.createDataFrame(
+        [("acme.test", "widget maker"),
+         ("acmeclone.test", "widget maker")],
+        "entity_id string, profile_text string",
+    )
+    top = link_mentions(mentions, profiles, cand) \
+        .where(F.col("rank") == 1).first()
+    assert top["entity_id"] == "acme.test"
+
+
 def test_domain_pagerank_hub_wins(spark):
     # DAG star (exact convergence in depth+1 synchronous rounds —
     # a back-link would make the star near-bipartite and oscillate at
