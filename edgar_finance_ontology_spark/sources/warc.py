@@ -129,9 +129,24 @@ def warc_pages(buf: bytes) -> Iterator[tuple]:
                bytes(http_body(payload)), None, None)
 
 
-def read_warc_files(spark: SparkSession, path: str) -> DataFrame:
-    """Pages frame (PAGES_SCHEMA) from WARC files under `path` (glob).
-    One task per file; parsing is executor-side, shuffle-free."""
+def wet_pages(buf: bytes) -> Iterator[tuple]:
+    """(url, warc_ts, None, text, None) rows from one WET buffer.
+    WET is the same WARC framing with `conversion` records whose
+    payload IS the extracted text (UTF-8) — so `text` arrives filled
+    and the extraction operator's fill-if-missing contract leaves it
+    untouched."""
+    for headers, payload in iter_warc_records(maybe_gunzip(buf)):
+        if headers.get("warc-type") != "conversion":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        yield (url, parse_warc_date(headers.get("warc-date")),
+               None, payload.decode("utf-8", "replace"), None)
+
+
+def _read_container(spark: SparkSession, path: str,
+                    page_iter) -> DataFrame:
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path) \
@@ -145,7 +160,20 @@ def read_warc_files(spark: SparkSession, path: str) -> DataFrame:
             # of all of them at once would multiply peak memory
             for content in pdf["content"]:
                 yield pd.DataFrame(
-                    list(warc_pages(bytes(content))), columns=cols
+                    list(page_iter(bytes(content))), columns=cols
                 )
 
     return files.mapInPandas(run, schema=PAGES_SCHEMA)
+
+
+def read_warc_files(spark: SparkSession, path: str) -> DataFrame:
+    """Pages frame (PAGES_SCHEMA) from WARC files under `path` (glob).
+    One task per file; parsing is executor-side, shuffle-free."""
+    return _read_container(spark, path, warc_pages)
+
+
+def read_wet_files(spark: SparkSession, path: str) -> DataFrame:
+    """Pages frame from WET (extracted-text) files: text pre-filled,
+    html NULL — the input shape for pipelines that trust CC's own
+    extraction and skip the HTML stage entirely."""
+    return _read_container(spark, path, wet_pages)

@@ -92,6 +92,39 @@ def test_cc_style_member_per_record_gzip():
     assert list(warc_pages(members[:-8]))[0][0] == "http://x.test/1"
 
 
+def test_wet_conversion_records(spark, tmp_path):
+    from edgar_finance_ontology_spark.sources.warc import (
+        read_wet_files,
+    )
+
+    buf = (
+        _rec("warcinfo", payload=b"software: test\r\n")
+        + _rec("conversion", url="http://x.test/a",
+               payload="Extracted text one.".encode())
+        + _rec("response", url="http://x.test/skip",
+               payload=_http(HTML_A))  # responses don't belong in WET
+        + _rec("conversion", url="http://x.test/b",
+               payload="Unicode: café".encode())
+    )
+    (tmp_path / "f.wet.gz").write_bytes(gzip.compress(buf))
+    rows = {r["url"]: r for r in read_wet_files(
+        spark, str(tmp_path / "*.wet.gz")).collect()}
+    assert set(rows) == {"http://x.test/a", "http://x.test/b"}
+    assert rows["http://x.test/a"]["text"] == "Extracted text one."
+    assert rows["http://x.test/b"]["text"] == "Unicode: café"
+    assert rows["http://x.test/a"]["html"] is None
+
+    # the extraction operator's fill-if-missing contract leaves
+    # pre-filled WET text untouched
+    from edgar_finance_ontology_spark.operators.extraction import (
+        with_extracted_text,
+    )
+
+    ext = {r["url"]: r["text"] for r in with_extracted_text(
+        read_wet_files(spark, str(tmp_path / "*.wet.gz"))).collect()}
+    assert ext["http://x.test/a"] == "Extracted text one."
+
+
 def test_warc_roundtrip_matches_native_pipeline_inputs(spark, tmp_path):
     """Writing the synthetic panel's pages INTO a WARC container and
     reading them back through the WARC source yields the same
