@@ -1547,6 +1547,44 @@ def trim_dup_spans(df: DataFrame, window_tokens: int = 15,
     )
 
 
+def write_jsonl_shards(df: DataFrame, out_dir: str, shard_tokens: int,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       counter: str = "ws",
+                       merges_path: str | None = None,
+                       meta_cols: tuple[str, ...] = ()) -> dict:
+    """Emit the packed corpus as token-budgeted JSONL shards — the
+    format trainer data loaders actually ingest: one directory per
+    ~shard_tokens-token shard, text files whose every line is a JSON
+    object {id, text, n_tokens, *meta_cols}. Shard assignment is
+    pack_token_shards' deterministic prefix-sum cut; lines within a
+    shard are sorted by id, so the emitted bytes are reproducible
+    run-to-run. Plan: one shuffle to join the assignment back to the
+    docs, one repartition by shard_id so each shard directory is
+    written by the tasks owning it. Returns {n_shards, n_docs}."""
+    packed = pack_token_shards(
+        df, shard_tokens, text_col=text_col, id_col=id_col,
+        counter=counter, merges_path=merges_path,
+    ).select("id", "n_tokens", "shard_id")
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text"),
+        *[F.col(c) for c in meta_cols],
+    ).join(packed, "id")
+    payload = F.to_json(F.struct(
+        F.col("id"), F.col("text"), F.col("n_tokens"),
+        *[F.col(c) for c in meta_cols],
+    ))
+    (
+        base.select(payload.alias("value"), "shard_id", "id")
+        .repartition(F.col("shard_id"))
+        .sortWithinPartitions("id")
+        .drop("id")
+        .write.mode("overwrite").partitionBy("shard_id").text(out_dir)
+    )
+    n = df.sparkSession.read.text(out_dir).count()
+    n_shards = packed.select("shard_id").distinct().count()
+    return {"n_shards": int(n_shards), "n_docs": int(n)}
+
+
 def write_token_shards(df: DataFrame, out_dir: str, shard_tokens: int,
                        text_col: str = "text", id_col: str = "doc_id",
                        counter: str = "ws",

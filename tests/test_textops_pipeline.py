@@ -785,6 +785,57 @@ def test_trim_dup_spans_semantics(spark):
     assert got2[5]["clean_text"] == "x w15 y"
 
 
+def test_write_jsonl_shards(spark, tmp_path):
+    """JSONL emission: every line parses, carries the requested meta,
+    shard membership matches pack_token_shards, and bytes are
+    reproducible run-to-run (sorted within shard)."""
+    import json
+    import pathlib
+
+    from edgar_finance_ontology_spark.operators.textops import (
+        pack_token_shards, write_jsonl_shards,
+    )
+
+    docs = [(i, " ".join(f"t{i}w{j}" for j in range(10)), f"src{i % 2}")
+            for i in range(30)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, source string")
+    out = str(tmp_path / "jsonl")
+    meta = write_jsonl_shards(df, out, shard_tokens=100,
+                              meta_cols=("source",))
+    assert meta["n_docs"] == 30
+    assert meta["n_shards"] == 3  # 300 ws tokens / 100
+
+    want = {r["id"]: r["shard_id"] for r in pack_token_shards(
+        df, 100).collect()}
+    seen = {}
+    for p in sorted(pathlib.Path(out).glob("shard_id=*/*.txt")):
+        sid = int(p.parent.name.split("=")[1])
+        ids_in_order = []
+        for ln in p.read_text().splitlines():
+            obj = json.loads(ln)
+            assert obj["n_tokens"] == 10
+            assert obj["source"] == f"src{obj['id'] % 2}"
+            ids_in_order.append(obj["id"])
+            seen[obj["id"]] = sid
+        assert ids_in_order == sorted(ids_in_order)
+    assert seen == want
+
+    # reproducible bytes per shard (part-file names carry write
+    # UUIDs; the emitted content must not)
+    def shard_bytes():
+        return {
+            d.name: b"".join(p.read_bytes()
+                             for p in sorted(d.glob("*.txt")))
+            for d in pathlib.Path(out).glob("shard_id=*")
+        }
+
+    first = shard_bytes()
+    write_jsonl_shards(df, out, shard_tokens=100,
+                       meta_cols=("source",))
+    assert shard_bytes() == first
+
+
 def test_write_token_shards_layout(spark, tmp_path):
     """The packed corpus lands one parquet directory per shard; a
     shard-id filter prunes partitions; read-back content equals the
