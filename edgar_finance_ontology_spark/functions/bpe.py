@@ -168,3 +168,83 @@ def train_merges(texts: Iterable[str],
             if changed:
                 words[w] = out
     return merges
+
+
+def train_merges_distributed(df, text_col: str = "text",
+                             n_merges: int = 512) -> list:
+    """BPE vocabulary induction as a Spark job, bit-identical to
+    `train_merges` (equality-tested against the committed fixture):
+    the corpus collapses to the DISTINCT-pretoken frequency table in
+    one map-side-combined aggregation — the only pass that ever reads
+    the 10^12-document corpus — and every merge round is then ONE
+    aggregation over that vocab-sized table (pair counts from
+    arrays_zip of adjacent slices, weighted by word frequency), the
+    same one-agg-per-iteration shape as the k-means fit.
+
+    Driver state per round: the max pair count plus the tied pairs at
+    that count (a handful), to which the EXACT tie-break key of the
+    in-memory trainer is applied — max frequency, then the
+    byte-complement sequence order Python's `max` induces (which
+    prefers the lexicographically smaller pair but the LONGER one on
+    prefix ties; replicating it driver-side on the tied subset is
+    exact by construction, where an engine ORDER BY would have to
+    re-encode that corner). Parts are lowercase-hex byte strings
+    (fixed two chars per byte, so hex string order == byte order and
+    fusion is plain string concat); the greedy left-to-right fuse is a
+    per-word array fold — equivalent to the imperative scan because a
+    just-fused element `a+b` can never equal `a` again (b non-empty).
+    Each round localCheckpoints the rewritten vocab table, keeping
+    lineage flat across hundreds of rounds."""
+    from pyspark.sql import functions as F
+
+    words = (
+        df.select(F.explode(F.regexp_extract_all(
+            F.col(text_col), F.lit(PRETOKEN_RE.pattern), 0)).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("freq"))
+        .select(
+            F.regexp_extract_all(
+                F.lower(F.hex(F.encode(F.col("w"), "UTF-8"))),
+                F.lit(".."), 0,
+            ).alias("parts"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[bytes, bytes]] = []
+    for _ in range(n_merges):
+        pairs = (
+            words.where(F.size("parts") > 1)
+            .select("freq", F.explode(F.arrays_zip(
+                F.slice("parts", 1, F.size("parts") - 1).alias("a"),
+                F.slice("parts", 2, F.size("parts") - 1).alias("b"),
+            )).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        mx = pairs.agg(F.max("n").alias("m")).first()["m"]
+        if mx is None or mx < 2:
+            break
+        ties = pairs.where(F.col("n") == mx).collect()
+        best = max(ties, key=lambda r: (
+            [-bb for bb in bytes.fromhex(r["a"])],
+            [-bb for bb in bytes.fromhex(r["b"])],
+        ))
+        a, b = best["a"], best["b"]
+        merges.append((bytes.fromhex(a), bytes.fromhex(b)))
+        A, B, AB = F.lit(a), F.lit(b), F.lit(a + b)
+        words = words.select(
+            F.when(
+                F.size("parts") < 2, F.col("parts")
+            ).otherwise(F.aggregate(
+                F.slice("parts", 2, F.size("parts") - 1),
+                F.slice("parts", 1, 1),
+                lambda acc, p: F.when(
+                    (F.element_at(acc, -1) == A) & (p == B),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                             F.array(AB)),
+                ).otherwise(F.concat(acc, F.array(p))),
+            )).alias("parts"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return merges

@@ -160,3 +160,20 @@ def test_pack_token_shards_bpe_budget(spark):
         run += r["n_tokens"]
         assert r["cum_tokens"] == run
         assert r["shard_id"] == (run - 1) // 500
+
+
+def test_distributed_trainer_matches_committed_fixture(spark):
+    """Vocabulary induction as a Spark job reproduces the committed
+    in-memory-trained merge table bit-for-bit (first 16 merges on the
+    same sf0.001 corpus), independent of physical partitioning."""
+    from edgar_finance_ontology_spark.functions.bpe import (
+        DEFAULT_MERGES, load_merges, train_merges_distributed,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = [p for p, i in sorted(
+        load_merges(DEFAULT_MERGES).items(), key=lambda kv: kv[1])][:16]
+    assert train_merges_distributed(df, n_merges=16) == want
+    # the argmax/tie-break/fuse chain is partition-independent
+    assert train_merges_distributed(
+        df.repartition(7), n_merges=16) == want
