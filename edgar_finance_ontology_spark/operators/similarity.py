@@ -577,3 +577,148 @@ def cluster_balanced_sample(
         .where(F.col("pos") <= per_cell)
         .select("cell", F.col("pos").cast("int").alias("pos"), "id")
     )
+
+
+# ---------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): the memory-compression leg
+# of the ANN family. The vector space splits into m contiguous
+# subspaces, each with its own kmeans_fit codebook; a vector is stored
+# as m small integer codes, and asymmetric-distance (ADC) search scores
+# a candidate with m table lookups instead of a dim-sized arithmetic
+# pass. At 10^12 vectors this is what makes the index FIT: 64-dim
+# float64 = 512 bytes/vector raw, m=2 byte codes = 2.
+# ---------------------------------------------------------------------
+
+
+def pq_fit(embeddings: DataFrame, m: int = 2, k: int = 8,
+           iters: int = 3, id_col: str = "vec_id",
+           vec_col: str = "embedding", seed_sample: int = 2048,
+           dim: int | None = None) -> list[list[list[float]]]:
+    """Per-subspace codebooks: `dim` splits into m equal contiguous
+    slices, one kmeans_fit per slice (each fit inherits the full
+    determinism contract — hash-order seeds, decimal updates — so the
+    codebooks are partition-invariant and twin-replayable). Returns
+    m codebooks of k centroids each. `dim` is inferred as the minimum
+    non-empty vector length when not given (one bounded agg)."""
+    if dim is None:
+        row = embeddings.where(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+        ).agg(F.min(F.size(vec_col)).alias("d")).first()
+        dim = int(row["d"]) if row and row["d"] is not None else 0
+    if dim <= 0 or dim % m:
+        raise ValueError(
+            f"pq_fit: dim={dim} must be positive and divisible by m={m}"
+        )
+    sub = dim // m
+    return [
+        kmeans_fit(
+            embeddings.select(
+                F.col(id_col),
+                F.slice(vec_col, j * sub + 1, sub).alias(vec_col),
+            ),
+            k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+            seed_sample=seed_sample,
+        )
+        for j in range(m)
+    ]
+
+
+def pq_codes_col(vec, codebooks: list[list[list[float]]]):
+    """array<int> of m codes for `vec` — the per-subspace argmin cell,
+    same tie-break as the IVF assignment."""
+    sub = len(codebooks[0][0])
+    return F.array(*[
+        cell_assign_col(F.slice(vec, j * sub + 1, sub), cb)
+        for j, cb in enumerate(codebooks)
+    ])
+
+
+def pq_encode(embeddings: DataFrame,
+              codebooks: list[list[list[float]]],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes): the compressed corpus — a pure map over valid
+    rows (null/ragged vectors are excluded, mirroring the fit's input
+    guards); no shuffle, no driver data."""
+    m, k = len(codebooks), len(codebooks[0])
+    dim = len(codebooks[0][0]) * m
+    valid = embeddings.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
+    return valid.select(
+        F.col(id_col).alias("id"),
+        pq_codes_col(F.col(vec_col), codebooks).alias("codes"),
+    )
+
+
+def _py_dist2(a: list[float], b: list[float]) -> float:
+    """The sequential-fold squared distance in plain Python — verified
+    bit-identical to Spark's aggregate fold and DuckDB's list_sum
+    (same contract kmeans_fit's seeding relies on)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (x - y) * (x - y)
+    return acc
+
+
+def pq_adc_topk(embeddings: DataFrame, queries: DataFrame,
+                codebooks: list[list[list[float]]], topk: int = 3,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                ) -> DataFrame:
+    """Asymmetric-distance top-k: per query, a driver-built lookup
+    table lut[j*k + c] = d2(query_subspace_j, codebook_j[c]) — m×k
+    doubles per query, computed with the SAME sequential fold the
+    engines use, so the scores replay bit-for-bit — then every
+    candidate scores with m array lookups:
+
+        adc(q, x) = sum_j lut_q[j*k + codes_x[j]]
+
+    Plan: the query LUT frame (|Q| rows) broadcast-cross-joins the
+    code table; scoring is a pure fold over m; one window per query
+    ranks (adc asc, id asc). The corpus side never moves — exactly
+    the IVF-without-cells ADC baseline (cell-restricting the
+    candidates composes with ann_ivf_* as in a classic IVFADC).
+    Queries with null/ragged vectors drop out, mirroring the twin."""
+    m, k = len(codebooks), len(codebooks[0])
+    sub = len(codebooks[0][0])
+    dim = sub * m
+    q_rows = queries.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")) \
+     .collect()
+    spark = embeddings.sparkSession
+    luts = [
+        (r["query_id"],
+         [_py_dist2(list(r["v"])[j * sub:(j + 1) * sub], c)
+          for j in range(m) for c in codebooks[j]])
+        for r in q_rows
+    ]
+    if not luts:
+        empty = pq_encode(embeddings, codebooks, id_col, vec_col) \
+            .limit(0)
+        return empty.select(
+            F.col("id").alias("query_id"),
+            F.lit(0).alias("rank"),
+            F.col("id").alias("neighbor_id"),
+            F.lit(0.0).alias("adc"),
+        )
+    qdf = spark.createDataFrame(luts, "query_id long, lut array<double>")
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            "lut", (j * k + F.element_at("codes", j + 1) + 1).cast("int")
+        ),
+    )
+    scored = codes.join(F.broadcast(qdf)) \
+        .where(F.col("id") != F.col("query_id")) \
+        .select("query_id", F.col("id").alias("neighbor_id"),
+                adc.alias("adc"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .where(F.col("rank") <= topk) \
+        .select("query_id", "rank", "neighbor_id",
+                F.round("adc", 6).alias("adc"))

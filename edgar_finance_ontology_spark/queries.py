@@ -18,6 +18,7 @@ documents embeddings).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -718,7 +719,9 @@ _D2 = ("list_sum(list_transform(list_zip({v}, {c}), "
 
 
 def _sql_kmeans_parts(k: int = 8, iters: int = 2, dim: int = 64,
-                      seed_sample: int = 2048) -> tuple[list[str], str]:
+                      seed_sample: int = 2048, prefix: str = "",
+                      vexpr: str = "CAST(embedding AS DOUBLE[])",
+                      ) -> tuple[list[str], str]:
     """Shared DuckDB replay of the whole k-means fit (iterations
     unrolled at SQL-generation time): seed sample = the `seed_sample`
     lowest (md5(id), id) vectors (md5 hex is engine-identical, so the
@@ -732,7 +735,7 @@ def _sql_kmeans_parts(k: int = 8, iters: int = 2, dim: int = 64,
     the ivf-multiprobe and semdedup twins consume."""
     d2 = _D2
     parts = [
-        "WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) "
+        f"WITH base AS (SELECT vec_id AS id, {vexpr} "
         "AS v FROM embeddings)",
         # mirror kmeans_fit's input guards: null/empty vectors never
         # reach the sample, and the fit is restricted to the seed
@@ -799,6 +802,21 @@ def _sql_kmeans_parts(k: int = 8, iters: int = 2, dim: int = 64,
            row_number() OVER (PARTITION BY b.id
                               ORDER BY {final_d2} ASC, c.cell ASC) AS rn
     FROM fitb b, {fin} c) x WHERE rn = 1)""")
+    if prefix:
+        # PQ twins replay one fit per subspace in a single WITH list:
+        # prefix every CTE name (aliases sharing a name are renamed at
+        # definition and use together, which keeps them consistent)
+        names = sorted(
+            ["basef", "base", "smpf", "smp", "fitb", "asg"]
+            + [f"seed{j}" for j in range(k)]
+            + [f"c{i}" for i in range(iters + 1)]
+            + [f"a{i}" for i in range(iters)]
+            + [f"s{i}" for i in range(iters)],
+            key=len, reverse=True,
+        )
+        pat = re.compile(r"\b(" + "|".join(names) + r")\b")
+        parts = [pat.sub(lambda m: prefix + m.group(1), q) for q in parts]
+        fin = prefix + fin
     return parts, fin
 
 
@@ -839,6 +857,77 @@ WHERE rank <= {topk} ORDER BY query_id, rank
 
 
 SQL_ANN_IVF_MULTIPROBE = _sql_ivf_multiprobe()
+
+
+def q_ann_pq_adc(spark, sf):
+    """Product-quantization ADC search (Jégou et al. 2011): two
+    32-dim subspace codebooks (k=8 each, the deterministic kmeans_fit
+    per subspace), corpus compressed to 2 codes/vector, the 10
+    lowest-vec_id queries scored by per-query lookup tables — top-3
+    by asymmetric distance."""
+    from .operators.similarity import pq_adc_topk, pq_fit
+
+    e = _t(spark, sf, "embeddings")
+    cbs = pq_fit(e, m=2, k=8, iters=2, dim=64)
+    q = e.orderBy("vec_id").limit(10)
+    return pq_adc_topk(e, q, cbs, topk=3).orderBy("query_id", "rank")
+
+
+def _sql_pq_adc(m: int = 2, k: int = 8, iters: int = 2,
+                dim: int = 64, nq: int = 10, topk: int = 3,
+                seed_sample: int = 2048) -> str:
+    """PQ-ADC twin: one prefixed k-means replay per subspace (the
+    sliced `vexpr` reuses the whole fit chain), codes = the joined
+    per-subspace asg cells, ADC = the two sequential-fold squared
+    distances added left-to-right — the same order the Spark LUT fold
+    produces, so scores replay bit-for-bit."""
+    sub = dim // m
+    all_parts: list[str] = []
+    fins: list[str] = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts, fin = _sql_kmeans_parts(
+            k, iters, sub, seed_sample, prefix=f"p{j}",
+            vexpr=f"CAST(embedding AS DOUBLE[])[{lo}:{hi}]",
+        )
+        if j:
+            parts[0] = parts[0][len("WITH "):]
+        all_parts += parts
+        fins.append(fin)
+    d2 = _D2
+    join_cells = " ".join(
+        f"JOIN {fins[j]} c{j} ON c{j}.cell = d.k{j}" for j in range(m)
+    )
+    code_cols = ", ".join(
+        f"a{j}.cell AS k{j}" for j in range(m))
+    code_join = " ".join(
+        f"JOIN p{j}asg a{j} USING (id)" for j in range(1, m))
+    adc_sum = " + ".join(
+        d2.format(v=f"q.v[{j * sub + 1}:{(j + 1) * sub}]", c=f"c{j}.c")
+        for j in range(m)
+    )
+    all_parts += [
+        f"pqcodes AS (SELECT a0.id, {code_cols} "
+        f"FROM p0asg a0 {code_join})",
+        f"pqq AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings ORDER BY vec_id LIMIT {nq})",
+        f"pqqv AS (SELECT id, v FROM pqq "
+        f"WHERE v IS NOT NULL AND len(v) = {dim})",
+        f"padc AS (SELECT q.id AS query_id, d.id AS neighbor_id, "
+        f"{adc_sum} AS adc FROM pqqv q, pqcodes d {join_cells} "
+        f"WHERE d.id <> q.id)",
+    ]
+    return ",\n".join(all_parts) + f"""
+SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc FROM (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM padc) x
+WHERE rank <= {topk} ORDER BY query_id, rank
+"""
+
+
+SQL_ANN_PQ_ADC = _sql_pq_adc()
 
 
 def q_semdedup(spark, sf):
@@ -2694,6 +2783,7 @@ QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
     "ann_ivf_cell": (q_ann_ivf_cell, SQL_ANN_IVF),
     "ann_ivf_multiprobe": (q_ann_ivf_multiprobe, SQL_ANN_IVF_MULTIPROBE),
+    "ann_pq_adc": (q_ann_pq_adc, SQL_ANN_PQ_ADC),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "cluster_balanced_sample": (q_cluster_balanced_sample,
                                 SQL_CLUSTER_BALANCED),

@@ -244,3 +244,57 @@ def test_cluster_balanced_sample_quota_and_order(spark):
     again = cluster_balanced_sample(df.repartition(7), cents, per_cell=3) \
         .orderBy("cell", "pos").collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_pq_adc_exactness_and_blob_geometry(spark):
+    """PQ: codes are partition-invariant; ADC scores equal a plain
+    Python replay of the lookup-table sums; on two tight blobs every
+    query's top neighbors come from its own blob."""
+    import pytest
+
+    from edgar_finance_ontology_spark.operators.similarity import (
+        _py_dist2, pq_adc_topk, pq_encode, pq_fit,
+    )
+
+    def vec(center, i, dim=8):
+        return [center + ((i * 7 + d) % 5) * 0.01 for d in range(dim)]
+
+    rows = ([(i, vec(0.0, i)) for i in range(6)]
+            + [(100 + i, vec(5.0, i)) for i in range(6)])
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    cbs = pq_fit(df, m=2, k=2, iters=2, dim=8)
+    assert len(cbs) == 2 and len(cbs[0]) == 2 and len(cbs[0][0]) == 4
+
+    codes = {r["id"]: list(r["codes"])
+             for r in pq_encode(df, cbs).collect()}
+    again = {r["id"]: list(r["codes"])
+             for r in pq_encode(df.repartition(5), cbs).collect()}
+    assert codes == again and len(codes) == 12
+
+    q = df.where(F.col("vec_id").isin(0, 100))
+    got = pq_adc_topk(df, q, cbs, topk=3).collect()
+    # blob geometry: every top-3 neighbor shares the query's blob
+    for r in got:
+        same_blob = (r["neighbor_id"] < 100) == (r["query_id"] < 100)
+        assert same_blob, (r["query_id"], r["neighbor_id"])
+
+    # exactness: adc equals the Python lookup-table replay
+    k = len(cbs[0])
+    by_q = {r["vec_id"]: list(r["embedding"]) for r in df.collect()}
+    for r in got:
+        qv = by_q[r["query_id"]]
+        lut = [_py_dist2(qv[j * 4:(j + 1) * 4], c)
+               for j in range(2) for c in cbs[j]]
+        want = 0.0
+        for j in range(2):
+            want += lut[j * k + codes[r["neighbor_id"]][j]]
+        assert r["adc"] == round(want, 6), r
+
+    # guards: dim must split evenly; ragged vectors never encode
+    with pytest.raises(ValueError):
+        pq_fit(df, m=3, k=2, dim=8)
+    dirty = df.unionByName(spark.createDataFrame(
+        [(999, [1.0, 2.0]), (998, None)],
+        "vec_id long, embedding array<double>"))
+    assert 999 not in {r["id"] for r in pq_encode(dirty, cbs).collect()}
