@@ -722,3 +722,81 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame,
         .where(F.col("rank") <= topk) \
         .select("query_id", "rank", "neighbor_id",
                 F.round("adc", 6).alias("adc"))
+
+
+def ann_ivfadc_topk(embeddings: DataFrame, queries: DataFrame,
+                    coarse: list[list[float]],
+                    codebooks: list[list[list[float]]],
+                    nprobe: int = 2, topk: int = 3,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVF + ADC composed (the shape of a classic IVFADC index): the
+    coarse quantizer restricts candidates to each query's `nprobe`
+    nearest cells, and the survivors score by PQ lookup tables instead
+    of full vectors. This is the NON-RESIDUAL variant — codes quantize
+    the raw vector, so ONE code table serves whole-corpus ADC and any
+    cell restriction (residual IVFADC trades that reuse for finer
+    quantization, at one codebook set per coarse cell).
+
+    With nprobe = len(coarse) this returns exactly pq_adc_topk
+    (equality-tested): the cell restriction is a pure candidate
+    filter, never a score change.
+
+    Plan: corpus side = ONE pure map emitting (cell, codes) per valid
+    vector; query side = |Q|×nprobe driver rows (probe cells chosen
+    with the same sequential-fold distance, ties to the lowest cell —
+    mirroring ann_ivf_multiprobe) broadcast into a cell-equi join;
+    the corpus never shuffles."""
+    m, k = len(codebooks), len(codebooks[0])
+    sub = len(codebooks[0][0])
+    dim = sub * m
+    valid = embeddings.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
+    corpus = valid.select(
+        F.col(id_col).alias("id"),
+        cell_assign_col(F.col(vec_col), coarse).alias("cell"),
+        pq_codes_col(F.col(vec_col), codebooks).alias("codes"),
+    )
+    q_rows = queries.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(F.col(id_col).alias("query_id"),
+             F.col(vec_col).alias("v")).collect()
+    probe_rows = []
+    for r in q_rows:
+        v = list(r["v"])
+        lut = [_py_dist2(v[j * sub:(j + 1) * sub], c)
+               for j in range(m) for c in codebooks[j]]
+        cells = sorted(
+            range(len(coarse)),
+            key=lambda c: (_py_dist2(v, coarse[c]), c),
+        )[:nprobe]
+        probe_rows += [(r["query_id"], c, lut) for c in cells]
+    spark = embeddings.sparkSession
+    if not probe_rows:
+        return corpus.limit(0).select(
+            F.col("id").alias("query_id"), F.lit(0).alias("rank"),
+            F.col("id").alias("neighbor_id"), "cell",
+            F.lit(0.0).alias("adc"),
+        )
+    qdf = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, lut array<double>"
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            "lut", (j * k + F.element_at("codes", j + 1) + 1).cast("int")
+        ),
+    )
+    scored = corpus.join(F.broadcast(qdf), "cell") \
+        .where(F.col("id") != F.col("query_id")) \
+        .select("query_id", F.col("id").alias("neighbor_id"), "cell",
+                adc.alias("adc"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .where(F.col("rank") <= topk) \
+        .select("query_id", "rank", "neighbor_id", "cell",
+                F.round("adc", 6).alias("adc"))

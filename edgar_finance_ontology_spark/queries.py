@@ -930,6 +930,85 @@ WHERE rank <= {topk} ORDER BY query_id, rank
 SQL_ANN_PQ_ADC = _sql_pq_adc()
 
 
+def q_ann_ivfadc(spark, sf):
+    """IVF + ADC composed: coarse k=8 quantizer restricts each of the
+    10 lowest-vec_id queries to its 2 nearest cells; survivors score
+    by the PQ lookup tables (m=2, k=8 per subspace) — top-3 by
+    asymmetric distance."""
+    from .operators.similarity import ann_ivfadc_topk, kmeans_fit, pq_fit
+
+    e = _t(spark, sf, "embeddings")
+    coarse = kmeans_fit(e, k=8, iters=2)
+    cbs = pq_fit(e, m=2, k=8, iters=2, dim=64)
+    q = e.orderBy("vec_id").limit(10)
+    return ann_ivfadc_topk(e, q, coarse, cbs, nprobe=2, topk=3) \
+        .orderBy("query_id", "rank")
+
+
+def _sql_ivfadc(k: int = 8, iters: int = 2, dim: int = 64,
+                m: int = 2, nq: int = 10, nprobe: int = 2,
+                topk: int = 3, seed_sample: int = 2048) -> str:
+    """IVFADC twin: the coarse fit replays under the default CTE
+    names (its asg = the cell restriction), the subspace fits under
+    p{j} prefixes (their asg cells = the codes), probe selection
+    mirrors the multiprobe twin, and ADC adds the per-subspace
+    sequential-fold distances left-to-right."""
+    sub = dim // m
+    coarse_parts, cfin = _sql_kmeans_parts(k, iters, dim, seed_sample)
+    all_parts = list(coarse_parts)
+    fins: list[str] = []
+    for j in range(m):
+        parts, fin = _sql_kmeans_parts(
+            k, iters, sub, seed_sample, prefix=f"p{j}",
+            vexpr=f"CAST(embedding AS DOUBLE[])"
+                  f"[{j * sub + 1}:{(j + 1) * sub}]",
+        )
+        parts[0] = parts[0][len("WITH "):]
+        all_parts += parts
+        fins.append(fin)
+    d2 = _D2
+    probe_d2 = d2.format(v="q.v", c="c.c")
+    code_cols = ", ".join(f"a{j}.cell AS k{j}" for j in range(m))
+    code_join = " ".join(
+        f"JOIN p{j}asg a{j} USING (id)" for j in range(1, m))
+    join_cells = " ".join(
+        f"JOIN {fins[j]} c{j} ON c{j}.cell = d.k{j}" for j in range(m))
+    adc_sum = " + ".join(
+        d2.format(v=f"q.qv[{j * sub + 1}:{(j + 1) * sub}]", c=f"c{j}.c")
+        for j in range(m)
+    )
+    all_parts += [
+        f"pqcodes AS (SELECT a0.id, {code_cols} "
+        f"FROM p0asg a0 {code_join})",
+        f"qsel AS (SELECT id, v FROM base ORDER BY id LIMIT {nq})",
+        f"""probe AS (
+  SELECT id AS query_id, v AS qv, cell FROM (
+    SELECT q.id, q.v, c.cell,
+           row_number() OVER (PARTITION BY q.id
+                              ORDER BY {probe_d2} ASC, c.cell ASC) AS rn
+    FROM qsel q, {cfin} c
+    WHERE q.v IS NOT NULL
+      AND len(q.v) = {dim}) x
+  WHERE rn <= {nprobe})""",
+        f"padc AS (SELECT q.query_id, a.id AS neighbor_id, a.cell, "
+        f"{adc_sum} AS adc "
+        f"FROM probe q JOIN asg a ON a.cell = q.cell "
+        f"AND a.id <> q.query_id "
+        f"JOIN pqcodes d ON d.id = a.id {join_cells})",
+    ]
+    return ",\n".join(all_parts) + f"""
+SELECT query_id, rank, neighbor_id, cell, round(adc, 6) AS adc FROM (
+  SELECT query_id, neighbor_id, cell, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM padc) x
+WHERE rank <= {topk} ORDER BY query_id, rank
+"""
+
+
+SQL_ANN_IVFADC = _sql_ivfadc()
+
+
 def q_semdedup(spark, sf):
     """SemDeDup (Abbas et al. 2023): semantic dedup inside TRAINED
     k-means cells — pairwise cosine >= tau within a cell forms
@@ -2784,6 +2863,7 @@ QUERIES = {
     "ann_ivf_cell": (q_ann_ivf_cell, SQL_ANN_IVF),
     "ann_ivf_multiprobe": (q_ann_ivf_multiprobe, SQL_ANN_IVF_MULTIPROBE),
     "ann_pq_adc": (q_ann_pq_adc, SQL_ANN_PQ_ADC),
+    "ann_ivfadc": (q_ann_ivfadc, SQL_ANN_IVFADC),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "cluster_balanced_sample": (q_cluster_balanced_sample,
                                 SQL_CLUSTER_BALANCED),

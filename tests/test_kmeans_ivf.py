@@ -298,3 +298,34 @@ def test_pq_adc_exactness_and_blob_geometry(spark):
         [(999, [1.0, 2.0]), (998, None)],
         "vec_id long, embedding array<double>"))
     assert 999 not in {r["id"] for r in pq_encode(dirty, cbs).collect()}
+
+
+def test_ivfadc_nprobe_full_equals_whole_corpus_adc(spark):
+    """The cell restriction is a pure candidate filter: with nprobe =
+    len(coarse) the composed search returns exactly pq_adc_topk; with
+    nprobe=1 every candidate comes from the query's own probed cell."""
+    from edgar_finance_ontology_spark.operators.similarity import (
+        ann_ivfadc_topk, kmeans_fit, pq_adc_topk, pq_fit,
+    )
+
+    def vec(center, i, dim=8):
+        return [center + ((i * 11 + d) % 7) * 0.02 for d in range(dim)]
+
+    rows = ([(i, vec(0.0, i)) for i in range(8)]
+            + [(100 + i, vec(4.0, i)) for i in range(8)])
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    coarse = kmeans_fit(df, k=2, iters=2)
+    cbs = pq_fit(df, m=2, k=2, iters=2, dim=8)
+    q = df.where(F.col("vec_id").isin(0, 100))
+
+    full = ann_ivfadc_topk(df, q, coarse, cbs, nprobe=2, topk=5) \
+        .drop("cell").orderBy("query_id", "rank")
+    whole = pq_adc_topk(df, q, cbs, topk=5) \
+        .orderBy("query_id", "rank")
+    assert [tuple(r) for r in full.collect()] \
+        == [tuple(r) for r in whole.collect()]
+
+    one = ann_ivfadc_topk(df, q, coarse, cbs, nprobe=1, topk=5)
+    cells = one.select("query_id", "cell").distinct().collect()
+    assert len({(r["query_id"], r["cell"]) for r in cells}) == 2
