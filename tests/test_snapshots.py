@@ -178,3 +178,64 @@ def test_empty_commit_and_unpartitioned_table(spark, store):
     got = snap.read_snapshot(spark, store)
     assert _norm(got) == [("a", 1, "x")]
     assert snap.snapshot_meta(store, 2)["files"][0]["partition"] == {}
+
+
+def test_snapshot_store_model_fuzz(spark, store):
+    """Stateful fuzz vs an in-memory model: random interleavings of
+    overwrite / patch / rollback / expire must keep every surviving
+    snapshot readable with exactly its committed content."""
+    import random
+
+    rng = random.Random(7)
+    parts = ["a", "b", "c", "d"]
+
+    def rand_table(tag):
+        return {
+            p: [(p, i, f"{tag}-{p}{i}") for i in range(rng.randint(1, 3))]
+            for p in rng.sample(parts, rng.randint(1, len(parts)))
+        }
+
+    def to_df(table):
+        rows = [r for rs in table.values() for r in rs]
+        return _df(spark, rows)
+
+    model: dict = {}
+    history: dict = {}
+    for step in range(14):
+        op = rng.choice(["overwrite", "patch", "patch", "rollback",
+                         "expire"])
+        if not history and op in ("rollback", "expire"):
+            op = "overwrite"
+        if op == "overwrite":
+            model = rand_table(f"s{step}")
+            sid = snap.commit_overwrite(spark, store, to_df(model),
+                                        ("part",))
+        elif op == "patch":
+            repl = set(rng.sample(parts, rng.randint(1, 2)))
+            newbits = {p: rows for p, rows in
+                       rand_table(f"s{step}").items() if p in repl}
+            model = {p: rows for p, rows in model.items()
+                     if p not in repl}
+            model.update(newbits)
+            sid = snap.commit_patch(
+                spark, store, to_df(newbits), ("part",),
+                replaced=lambda pv: pv.get("part") in repl,
+            )
+        elif op == "rollback":
+            target = rng.choice(sorted(history))
+            model = history[target]
+            sid = snap.rollback(spark, store, target)
+        else:
+            keep = rng.randint(1, 3)
+            res = snap.expire_snapshots(store, keep_last=keep)
+            survivors = snap.snapshot_ids(store)
+            history = {i: t for i, t in history.items()
+                       if i in survivors}
+            assert res["live_snapshots"] == len(survivors)
+            continue
+        history[sid] = model
+        # every surviving snapshot reads back exactly as committed
+        for i in snap.snapshot_ids(store):
+            got = _norm(snap.read_snapshot(spark, store, snapshot_id=i))
+            want = sorted(r for rs in history[i].values() for r in rs)
+            assert got == want, (step, op, i)
