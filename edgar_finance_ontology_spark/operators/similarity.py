@@ -800,3 +800,72 @@ def ann_ivfadc_topk(embeddings: DataFrame, queries: DataFrame,
         .where(F.col("rank") <= topk) \
         .select("query_id", "rank", "neighbor_id", "cell",
                 F.round("adc", 6).alias("adc"))
+
+
+def brute_force_l2_topk(embeddings: DataFrame, queries: DataFrame,
+                        k: int = 3, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Exact L2 top-k (broadcast crossJoin baseline, the squared-
+    distance counterpart of brute_force_topk's cosine) — the ground
+    truth the ADC family approximates. Self-matches excluded."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    c = embeddings.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    ).select(F.col(id_col).alias("neighbor_id"),
+             F.col(vec_col).alias("cv"))
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    scored = c.crossJoin(F.broadcast(q)) \
+        .where(F.col("neighbor_id") != F.col("query_id")) \
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .where(F.col("rank") <= k) \
+        .select("query_id", "rank", "neighbor_id",
+                F.round("d2", 6).alias("d2"))
+
+
+def measure_pq_recall(
+    embeddings: DataFrame,
+    k: int = 3,
+    nprobes: tuple[int, ...] = (1, 2, 8),
+    n_queries: int = 50,
+    m: int = 2,
+    pq_k: int = 8,
+    kmeans_k: int = 8,
+    kmeans_iters: int = 2,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, float]:
+    """recall@k of the IVFADC search vs the exact L2 baseline, per
+    nprobe — the measured form of BOTH approximation knobs at once
+    (cell restriction AND code quantization; nprobe=kmeans_k isolates
+    the pure PQ quantization loss). Same driver-light contract as
+    measure_ivf_recall: only the top-k result sets are collected."""
+    coarse = kmeans_fit(embeddings, k=kmeans_k, iters=kmeans_iters,
+                        id_col=id_col, vec_col=vec_col)
+    cbs = pq_fit(embeddings, m=m, k=pq_k, iters=kmeans_iters,
+                 id_col=id_col, vec_col=vec_col, dim=dim)
+    q = embeddings.orderBy(id_col).limit(n_queries)
+    exact = brute_force_l2_topk(embeddings, q, k=k, id_col=id_col,
+                                vec_col=vec_col)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    if not truth:
+        raise ValueError(
+            "measure_pq_recall: empty exact baseline — the input has "
+            "no query with at least one non-self neighbor"
+        )
+    out = {}
+    for nprobe in nprobes:
+        got = ann_ivfadc_topk(embeddings, q, coarse, cbs,
+                              nprobe=nprobe, topk=k,
+                              id_col=id_col, vec_col=vec_col)
+        hits = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+        out[nprobe] = round(len(hits & truth) / len(truth), 4)
+    return out
