@@ -99,6 +99,54 @@ def cell_assign_col(vec, centroids: list[list[float]]):
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def _seed_traversal(sample: list[list[float]], k: int) -> list[list[float]]:
+    """Farthest-first traversal over the bounded seed sample,
+    vectorized with numpy but ARITHMETICALLY IDENTICAL to the original
+    pure-Python loops (bit-equality pinned by
+    tests/test_kmeans_seed_vectorized.py):
+
+      * each squared distance is the same sequential fold
+        acc = acc + (x_d - c_d)^2 in dimension order — realized as a
+        Python loop over dimensions with one vectorized elementwise op
+        per dimension, so every per-element IEEE operation and its
+        order are unchanged;
+      * the running min over already-chosen seeds replicates Python's
+        min() update rule `new if new < acc else acc` via np.where
+        (NaN never replaces, matching Python comparison semantics);
+      * the argmax keeps the original strict-> first-winner scan (a
+        2k-element Python loop — trivial), preserving tie and NaN
+        behavior exactly.
+
+    The original O(k * n * k * dim) pure-Python traversal was ~1-2 s
+    of driver time PER FIT at the default sample size — paid by every
+    kmeans/PQ-family query, three times for an IVFADC fit (guide
+    §1.2: per-task — here per-driver — work after the plan shape is
+    right)."""
+    import numpy as np
+
+    arr = np.asarray(sample, dtype=np.float64)
+    n, dim = arr.shape
+
+    def d2_to(c):
+        acc = np.zeros(n, dtype=np.float64)
+        for d in range(dim):
+            diff = arr[:, d] - c[d]
+            acc = acc + diff * diff
+        return acc
+
+    cents = [sample[0]]
+    mind = d2_to(arr[0])
+    for _ in range(min(k, len(sample)) - 1):
+        best_i, best_d = None, None
+        for i, d in enumerate(mind.tolist()):
+            if best_d is None or d > best_d:
+                best_i, best_d = i, d
+        cents.append(sample[best_i])
+        new = d2_to(arr[best_i])
+        mind = np.where(new < mind, new, mind)
+    return cents
+
+
 def kmeans_fit(embeddings: DataFrame, k: int = 8, iters: int = 3,
                id_col: str = "vec_id",
                vec_col: str = "embedding",
@@ -155,20 +203,7 @@ def kmeans_fit(embeddings: DataFrame, k: int = 8, iters: int = 3,
     expected_dim = len(sample[0])
     sample = [v for v in sample if len(v) == expected_dim]
 
-    def d2(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + (x - y) * (x - y)
-        return acc
-
-    cents = [sample[0]]
-    for _ in range(min(k, len(sample)) - 1):
-        best_i, best_d = None, None
-        for i, v in enumerate(sample):
-            d = min(d2(v, s) for s in cents)
-            if best_d is None or d > best_d:
-                best_i, best_d = i, d
-        cents.append(sample[best_i])
+    cents = _seed_traversal(sample, k)
     dim = len(cents[0])
     # rows whose vector length disagrees with the centroid dim would
     # yield NULL distance cells and blow up the update indexing —

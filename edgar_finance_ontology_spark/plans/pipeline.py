@@ -73,8 +73,32 @@ def run_pipeline(
     # downstream job would otherwise pay full Catalyst re-analysis of
     # the 27-spec selection tree (~10s of driver time PER ACTION)
     obs = obs.localCheckpoint(eager=True)
-    benchmarks = compute_benchmarks(obs, fy, max_list_group=max_list_group).cache()
-    rankings = compute_rankings(obs, fy).cache()
+    # benchmarks/rankings: eager localCheckpoint instead of cache().
+    # cache() deduped EXECUTION but left the full logical trees in
+    # place — build_triples / the CQ catalog embed these frames ~7x
+    # each, so every downstream analysis/optimization pass re-walked
+    # ~20 copies of the window/pivot lineage (measured: 5.0s of pure
+    # build_triples plan construction, all JVM-side analysis).
+    # Checkpointing truncates them to scan leaves (guide §3.3: very
+    # wide unions of big plans -> materialize to cut planning time).
+    # The two are independent given obs, so they materialize
+    # concurrently — the second job's tasks back-fill the first's tail
+    # (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _bench():
+        return compute_benchmarks(
+            obs, fy, max_list_group=max_list_group
+        ).localCheckpoint(eager=True)
+
+    def _rank():
+        return compute_rankings(obs, fy).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb = pool.submit(_bench)
+        fr = pool.submit(_rank)
+        benchmarks = fb.result()
+        rankings = fr.result()
     return {
         "observations": obs,
         "benchmarks": benchmarks,

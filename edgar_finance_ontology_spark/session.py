@@ -42,6 +42,16 @@ def build_session(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # PySpark 4 captures a Python call-site string (an inspect stack
+        # walk + a py4j round trip) on EVERY DataFrame/Column API call to
+        # decorate error messages. The engine builds ~50k Column
+        # expressions per KG run, where this instrumentation alone was
+        # ~60% of plan-construction wall (cProfile: _capture_call_site +
+        # the extra py4j traffic; 5.2s -> 2.1s on a 96-entry emission
+        # build). Debug-only metadata, zero effect on results or on
+        # cluster execution — turn it off (guide §7.3: very large plans
+        # make driver-side construction a real cost).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Permissive null-on-error semantics (matches the reference's
         # try/except-swallowing Python); formulas still guard /0 explicitly.
         .config("spark.sql.ansi.enabled", "false")
