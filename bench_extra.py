@@ -93,6 +93,30 @@ def run_queries(names):
     spark.stop()
 
 
+def run_count(names):
+    """bench.py-faithful timing: .count() drain, best-of-2."""
+    import json
+
+    from edgar_finance_ontology_spark.queries import QUERIES
+
+    spark = _session("efin-bench-extra-count")
+    _warmup(spark)
+    out = {}
+    for name in names:
+        fn, _sql = QUERIES[name]
+        spark.sparkContext.setJobDescription(f"q:{name}")
+        best = float("inf")
+        for _rep in range(2):
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.monotonic() - t0)
+        out[name] = round(best, 3)
+        print(f"{out[name]:8.3f}  {name}", flush=True)
+    print(json.dumps({"count_sec": out,
+                      "total": round(sum(out.values()), 3)}))
+    spark.stop()
+
+
 def run_kg():
     from edgar_finance_ontology_spark.emit.triples import build_triples
     from edgar_finance_ontology_spark.plans.pipeline import run_pipeline
@@ -246,7 +270,11 @@ def run_oracle(names):
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "queries"
     args = sys.argv[2:]
-    if mode == "queries":
+    if mode == "count":
+        from edgar_finance_ontology_spark.queries import QUERIES
+
+        run_count(args or sorted(QUERIES))
+    elif mode == "queries":
         from edgar_finance_ontology_spark.queries import QUERIES
 
         run_queries(args or sorted(QUERIES))

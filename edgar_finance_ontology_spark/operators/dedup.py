@@ -65,9 +65,16 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
 def _word_shingles_arrow(df: DataFrame, text_col: str, n: int,
                          id_col: str) -> DataFrame:
     """mapInPandas twin of the HOF shingler — bit-identical rows."""
+    from ..functions.partitions import spread_small_input
+
     id_type = df.schema[id_col].dataType.simpleString()
-    slim = df.select(F.col(id_col).alias("id"),
-                     F.col(text_col).alias("_text"))
+    # shingling is the hottest Python kernel in the near-dup family; a
+    # single-row-group input would run it on ONE core (see
+    # functions/partitions.py) — widen small inputs before the map
+    slim = spread_small_input(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(text_col).alias("_text"))
+    )
 
     def gen(batches):
         import re
@@ -146,6 +153,47 @@ def lsh_bands(sigs: DataFrame, bands: int = 4) -> DataFrame:
             ).alias("bucket")
         )
     )
+
+
+def minhash_lsh_bands_fused(sh: DataFrame, n_hashes: int = 16,
+                            bands: int = 4) -> DataFrame:
+    """(id, band, bucket) — the composition minhash_signatures ->
+    lsh_bands, row-identical (equality-tested in
+    tests/test_dedup_scale.py), in ONE aggregation instead of three
+    shuffles. `sh` is a (id, shingle) frame (word_shingles output —
+    pass it CHECKPOINTED when the caller also feeds it to the
+    exact-Jaccard verify, so the shingler runs once, not once per
+    consumer).
+
+    Shape argument (guide §2.3/2.4): the original path exploded
+    |shingles| x n_hashes rows carrying 32-char md5 strings through a
+    groupBy(id, seed) exchange, then a second groupBy(id, band) with a
+    collect_list. Here the n per-seed hashes are computed as columns on
+    the un-exploded shingle rows, min-aggregated in one map-side-
+    combined groupBy(id), and the per-band buckets are pure column
+    expressions over the n mins (sort_array over the "seed:minhash"
+    strings replays the original collect_list+list_sort ordering
+    exactly — also the oracle's). One exchange, n_hashes x fewer
+    shuffled rows, no per-group list buffer."""
+    hashes = [
+        F.md5(F.concat_ws("|", F.lit(str(j)), F.col("shingle")))
+        for j in range(n_hashes)
+    ]
+    mins = sh.groupBy("id").agg(*[
+        F.min(h).alias(f"_mh_{j}") for j, h in enumerate(hashes)
+    ])
+    bb = []
+    for b in range(bands):
+        entries = [
+            F.concat_ws(":", F.lit(str(j)), F.col(f"_mh_{j}"))
+            for j in range(n_hashes) if j % bands == b
+        ]
+        bucket = F.md5(F.concat_ws(",", F.sort_array(F.array(*entries))))
+        bb.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    return mins.select(
+        "id", F.explode(F.array(*bb)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
 
 
 def lsh_candidate_pairs(bands_df: DataFrame,

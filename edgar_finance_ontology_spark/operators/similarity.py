@@ -236,6 +236,94 @@ def kmeans_fit(embeddings: DataFrame, k: int = 8, iters: int = 3,
     return cents
 
 
+def kmeans_fit_multi(
+    embeddings: DataFrame,
+    spaces: list[tuple[int, int]],
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_sample: int = 2048,
+) -> list[list[list[float]]] | None:
+    """Fused multi-subspace Lloyd fit: one codebook per (start, dim)
+    1-based contiguous slice of the vector, ALL spaces trained in the
+    same Spark jobs — ONE TakeOrdered sample collect (shared, sliced
+    driver-side) and ONE map-side-combined aggregation per iteration
+    keyed by (space, cell, d), instead of |spaces| independent
+    kmeans_fit calls each paying its own sample job and per-iteration
+    jobs (guide §1.2: remove redundant passes; an IVFADC fit ran 3
+    sample jobs + 6 iteration jobs for work one job sequence covers).
+
+    Bit-equality with the per-space kmeans_fit calls it replaces
+    (pinned by tests/test_kmeans_multi.py): the per-(space, cell, d)
+    decimal sums are unchanged (decimal addition is associative, and
+    tagging rows with a space id does not change which addends reach
+    which group), the seed traversal runs on the identical sliced
+    sample, and each space keeps its own size-== guard.
+
+    Returns None when the fast path cannot PROVE sample equivalence —
+    the collected sample contains ragged vectors, so the per-space
+    sample membership (which filters on the SLICED length before the
+    limit) could differ from a shared full-vector sample. Callers fall
+    back to per-space kmeans_fit; on real corpora (uniform dim) the
+    fast path always engages."""
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).where(F.col("v").isNotNull() & (F.size("v") > 0))
+    sample_rows = [
+        list(r["v"])
+        for r in e.orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(seed_sample).collect()
+    ]
+    if not sample_rows:
+        raise ValueError("kmeans_fit_multi: no non-empty vectors in input")
+    full_dim = len(sample_rows[0])
+    if any(len(v) != full_dim for v in sample_rows):
+        return None  # ragged sample -> caller uses per-space fits
+    if any(start + dim - 1 > full_dim or start < 1 or dim < 1
+           for start, dim in spaces):
+        return None
+    cents_by_space: list[list[list[float]]] = []
+    for start, dim in spaces:
+        sliced = [v[start - 1:start - 1 + dim] for v in sample_rows]
+        cents_by_space.append(_seed_traversal(sliced, k))
+    for _ in range(iters):
+        parts = []
+        for s, ((start, dim), cents) in enumerate(
+                zip(spaces, cents_by_space)):
+            sv = F.slice(F.col("v"), start, dim)
+            fit = e.where(F.size(sv) == dim)
+            cell = cell_assign_col(sv, cents)
+            # TWO selects, like kmeans_fit: the O(k*dim) assignment
+            # must land in its own Project so it is computed once per
+            # SOURCE row — fused into the posexplode select it would
+            # re-evaluate per exploded row (dim x the work; measured
+            # 6x slower end-to-end)
+            staged = fit.select(F.lit(s).alias("space"),
+                                cell.alias("cell"), sv.alias("sv"))
+            parts.append(
+                staged.select("space", "cell",
+                              F.posexplode("sv").alias("d", "x"))
+            )
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionByName(p)
+        rows = (
+            allp.groupBy("space", "cell", "d")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("x").cast("decimal(38,15)")).alias("s"))
+            .collect()
+        )
+        new = [[list(c) for c in cents] for cents in cents_by_space]
+        for r in rows:
+            if r["cell"] is None:
+                continue
+            new[r["space"]][r["cell"]][r["d"]] = float(r["s"]) / r["n"]
+        cents_by_space = new
+    return cents_by_space
+
+
 def ann_ivf_multiprobe(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -645,6 +733,16 @@ def pq_fit(embeddings: DataFrame, m: int = 2, k: int = 8,
             f"pq_fit: dim={dim} must be positive and divisible by m={m}"
         )
     sub = dim // m
+    # fused fast path: all m subspace fits share one sample collect and
+    # one aggregation job per iteration (falls back to the per-space
+    # fits below — bit-identical, just more jobs — on ragged samples)
+    multi = kmeans_fit_multi(
+        embeddings, [(j * sub + 1, sub) for j in range(m)],
+        k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        seed_sample=seed_sample,
+    )
+    if multi is not None:
+        return multi
     return [
         kmeans_fit(
             embeddings.select(

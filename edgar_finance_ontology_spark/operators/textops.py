@@ -565,9 +565,13 @@ def fingerprints(df: DataFrame, text_col: str = "text",
     binary string array_min; equality property-tested); impl='hof'
     keeps the pure column form."""
     if impl == "arrow":
+        from ..functions.partitions import spread_small_input
+
         id_type = df.schema[id_col].dataType.simpleString()
-        slim = df.select(F.col(id_col).alias("id"),
-                         F.col(text_col).alias("_text"))
+        slim = spread_small_input(
+            df.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("_text"))
+        )
 
         def gen(batches):
             import pandas as pd
@@ -608,9 +612,13 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     twin replays the exact fingerprint set.
     """
     if impl == "arrow":
+        from ..functions.partitions import spread_small_input
+
         id_type = df.schema[id_col].dataType.simpleString()
-        slim = df.select(F.col(id_col).alias("id"),
-                         F.col(text_col).alias("_text"))
+        slim = spread_small_input(
+            df.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("_text"))
+        )
 
         def gen(batches):
             import pandas as pd
@@ -1175,11 +1183,13 @@ def _token_prefix(df: DataFrame, text_col: str, id_col: str,
                                  for t in pdf["_text"]],
                 })
 
-        slim = df.select(
+        from ..functions.partitions import spread_small_input
+
+        slim = spread_small_input(df.select(
             F.col(id_col).alias("id"),
             F.col(order_name).alias("_ord"),
             F.col(text_col).alias("_text"),
-        )
+        ))
         id_t = slim.schema["id"].dataType.simpleString()
         ord_t = slim.schema["_ord"].dataType.simpleString()
         counted = slim.mapInPandas(
@@ -1339,9 +1349,13 @@ def _token_window_hashes(df: DataFrame, text_col: str, id_col: str,
     nothing); equality-tested in tests/test_textops_pipeline.py.
     Shared kernel of substring_dup_stats / trim_dup_spans — the
     hottest window-hash loop, ~6x the interpreted-HOF throughput."""
+    from ..functions.partitions import spread_small_input
+
     id_type = df.schema[id_col].dataType.simpleString()
-    slim = df.select(F.col(id_col).alias("id"),
-                     F.col(text_col).alias("_text"))
+    slim = spread_small_input(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(text_col).alias("_text"))
+    )
     w = window_tokens
 
     def gen(batches):

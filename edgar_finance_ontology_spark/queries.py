@@ -488,14 +488,20 @@ def q_minhash_lsh(spark, sf):
     """MinHash + banded LSH candidate pairs, exact-Jaccard verified.
     Fully deterministic (md5 minhashes) -> the oracle replays it."""
     from .operators.dedup import (
-        jaccard_on_pairs, lsh_bands, lsh_candidate_pairs,
-        minhash_signatures, word_shingles,
+        jaccard_on_pairs, lsh_candidate_pairs, minhash_lsh_bands_fused,
+        word_shingles,
     )
 
     d = _t(spark, sf, "documents")
-    sigs = minhash_signatures(d, n_hashes=8)
-    pairs = lsh_candidate_pairs(lsh_bands(sigs, bands=4), max_bucket=64)
-    sh = word_shingles(d)
+    # ONE materialized shingle table feeds both the LSH banding and the
+    # exact-Jaccard verify (it appears 4x in the final plan; Spark does
+    # not dedupe common subplans, so left lazy the Arrow shingler ran
+    # four times per action). Banding itself is the fused one-exchange
+    # form — see minhash_lsh_bands_fused.
+    sh = word_shingles(d).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(
+        minhash_lsh_bands_fused(sh, n_hashes=8, bands=4), max_bucket=64
+    )
     j = jaccard_on_pairs(pairs, sh)
     return (
         j.where(F.col("jaccard") >= 0.05)
@@ -935,11 +941,22 @@ def q_ann_ivfadc(spark, sf):
     10 lowest-vec_id queries to its 2 nearest cells; survivors score
     by the PQ lookup tables (m=2, k=8 per subspace) — top-3 by
     asymmetric distance."""
-    from .operators.similarity import ann_ivfadc_topk, kmeans_fit, pq_fit
+    from .operators.similarity import (
+        ann_ivfadc_topk, kmeans_fit, kmeans_fit_multi, pq_fit,
+    )
 
     e = _t(spark, sf, "embeddings")
-    coarse = kmeans_fit(e, k=8, iters=2)
-    cbs = pq_fit(e, m=2, k=8, iters=2, dim=64)
+    # fused fit: coarse (full-dim) + both PQ subspaces share one
+    # sample collect and one aggregation job per Lloyd iteration —
+    # bit-identical to the three independent fits (which remain the
+    # fallback for ragged vectors)
+    multi = kmeans_fit_multi(e, [(1, 64), (1, 32), (33, 32)],
+                             k=8, iters=2)
+    if multi is not None:
+        coarse, cbs = multi[0], multi[1:]
+    else:
+        coarse = kmeans_fit(e, k=8, iters=2)
+        cbs = pq_fit(e, m=2, k=8, iters=2, dim=64)
     q = e.orderBy("vec_id").limit(10)
     return ann_ivfadc_topk(e, q, coarse, cbs, nprobe=2, topk=3) \
         .orderBy("query_id", "rank")

@@ -233,3 +233,35 @@ def test_word_shingles_arrow_equals_hof(spark):
     h = {tuple(r) for r in word_shingles(dfl, "text", 3, "doc_id",
                                          impl="hof").collect()}
     assert a == h and len(a) == 4
+
+
+def test_minhash_lsh_bands_fused_matches_original(spark, boiler_docs):
+    """Round-6 fused banding (one aggregation) must be row-identical to
+    the minhash_signatures -> lsh_bands composition it replaces in
+    q_minhash_lsh — including edge docs (empty/short/tab/duplicate-id)
+    and multi-digit seeds where the sort is lexicographic on the
+    'seed:minhash' string in both forms."""
+    from edgar_finance_ontology_spark.operators.dedup import (
+        lsh_bands, minhash_lsh_bands_fused, minhash_signatures,
+        word_shingles,
+    )
+
+    edge = spark.createDataFrame(
+        [("e0", ""), ("e1", "one two"), ("e2", "a\tb c d e"),
+         ("dup", "same doc twice here today"),
+         ("dup", "same doc twice here today"),
+         ("dup2", "version one of this doc"),
+         ("dup2", "version two of this doc")],
+        "doc_id string, text string",
+    )
+    for df in (boiler_docs, edge):
+        for n_hashes, bands in ((8, 4), (16, 4), (6, 3), (12, 5)):
+            orig = lsh_bands(
+                minhash_signatures(df, n_hashes=n_hashes), bands=bands
+            )
+            fused = minhash_lsh_bands_fused(
+                word_shingles(df), n_hashes=n_hashes, bands=bands
+            )
+            a = sorted(map(tuple, orig.collect()))
+            b = sorted(map(tuple, fused.collect()))
+            assert a == b, (n_hashes, bands)
