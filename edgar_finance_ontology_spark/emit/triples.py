@@ -53,30 +53,84 @@ def _emit(df: DataFrame, subj, entries: list) -> DataFrame:
     )
 
 
-def _camel_dim(df: DataFrame, col: str, key: str = "_dim_key") -> DataFrame:
+def _camel_dim(df: DataFrame, col: str, key: str = "_dim_key",
+               camel_map=None) -> DataFrame:
     """distinct values of `col` + their CamelCase IRIs (tiny frame).
-    The join key column gets a collision-free name (`key`)."""
-    return (
+    The join key column gets a collision-free name (`key`). With a
+    `camel_map` literal (see _camel_value_map) the camel casing is a
+    map lookup instead of an ArrowEvalPython stage — same values."""
+    d = (
         df.select(F.col(col).alias(key))
         .where((F.col(key) != "") & F.col(key).isNotNull())
         .distinct()
-        .withColumn("camel", iri_camel_case_col(F.col(key)))
     )
+    if camel_map is not None:
+        return d.withColumn("camel", F.element_at(camel_map, F.col(key)))
+    return d.withColumn("camel", iri_camel_case_col(F.col(key)))
 
 
-def company_triples(companies: DataFrame) -> DataFrame:
-    sec_dim = _camel_dim(companies, "sector")
-    ind_dim = _camel_dim(companies, "industry")
-    c = (
-        companies.join(
-            F.broadcast(sec_dim.withColumnRenamed("camel", "sector_camel")),
-            companies["sector"] == sec_dim["_dim_key"], "left",
-        ).drop("_dim_key")
-        .join(
-            F.broadcast(ind_dim.withColumnRenamed("camel", "industry_camel")),
-            companies["industry"] == ind_dim["_dim_key"], "left",
-        ).drop("_dim_key")
-    )
+# dim-value count above which the literal-map fast path is abandoned
+# for the original broadcast-dim-join path. The camelable dims are
+# business dimensions (sectors / industries / units / benchmark
+# metrics) — bounded by construction; the cap turns "bounded by
+# construction" into "bounded by contract" the same way
+# connected_components' driver_cap does.
+CAMEL_MAP_CAP = 50_000
+
+
+def _camel_value_map(sources: list[tuple[DataFrame, str]],
+                     cap: int = CAMEL_MAP_CAP):
+    """ONE job collecting every distinct camelable dim value across
+    `sources`, returned as a literal value->CamelCase map Column
+    (iri_camel_case is the same Python function the pandas-UDF path
+    applies, so lexical forms are identical). Returns None when the
+    value count exceeds `cap` — callers fall back to the per-family
+    broadcast-dim-join path.
+
+    Why (guide §2.4 remove shuffles): build_triples ran ~12 _camel_dim
+    legs, each a distinct Exchange + an ArrowEvalPython + a broadcast
+    exchange + a join — all to attach a pure function of a bounded
+    value set. One bounded collect + a literal map turns every leg
+    into a column expression."""
+    from ..functions.iri import iri_camel_case
+
+    parts = None
+    for df, col in sources:
+        p = df.select(F.col(col).cast("string").alias("v")).where(
+            F.col("v").isNotNull() & (F.col("v") != ""))
+        parts = p if parts is None else parts.unionByName(p)
+    rows = parts.distinct().limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    vals = sorted(r["v"] for r in rows)
+    ks = F.array(*[F.lit(v) for v in vals]).cast("array<string>")
+    vs = F.array(*[F.lit(iri_camel_case(v)) for v in vals]) \
+        .cast("array<string>")
+    return F.map_from_arrays(ks, vs)
+
+
+def company_triples(companies: DataFrame, camel_map=None) -> DataFrame:
+    if camel_map is not None:
+        c = companies.withColumn(
+            "sector_camel", F.element_at(camel_map, F.col("sector"))
+        ).withColumn(
+            "industry_camel", F.element_at(camel_map, F.col("industry"))
+        )
+    else:
+        sec_dim = _camel_dim(companies, "sector")
+        ind_dim = _camel_dim(companies, "industry")
+        c = (
+            companies.join(
+                F.broadcast(
+                    sec_dim.withColumnRenamed("camel", "sector_camel")),
+                companies["sector"] == sec_dim["_dim_key"], "left",
+            ).drop("_dim_key")
+            .join(
+                F.broadcast(
+                    ind_dim.withColumnRenamed("camel", "industry_camel")),
+                companies["industry"] == ind_dim["_dim_key"], "left",
+            ).drop("_dim_key")
+        )
     subj, entries = _company_exprs()
     return _emit(c, subj, list(entries))
 
@@ -106,11 +160,12 @@ def _company_exprs():
     return subj, entries
 
 
-def entity_dim_triples(companies: DataFrame, needs_sector_all: bool) -> DataFrame:
+def entity_dim_triples(companies: DataFrame, needs_sector_all: bool,
+                       camel_map=None) -> DataFrame:
     """Sector / Industry instance + inSectorOf triples
     (select_xbrl_tags.py:211-231)."""
     spark = companies.sparkSession
-    sec = _camel_dim(companies, "sector").select(
+    sec = _camel_dim(companies, "sector", camel_map=camel_map).select(
         F.concat(F.lit("efin:Sector"), F.col("camel")).alias("subj"),
         F.lit("rdf:type").alias("pred"),
         F.lit("efin:Sector").alias("obj"),
@@ -129,12 +184,21 @@ def entity_dim_triples(companies: DataFrame, needs_sector_all: bool) -> DataFram
         .groupBy("industry")
         .agg(F.min_by("sector", "cik").alias("sector"))
     )
-    ind_dim = _camel_dim(companies, "industry")
-    sec_dim = _camel_dim(companies, "sector").withColumnRenamed("camel", "sec_camel")
-    ind = (
-        ind_dim.join(ind_sec, ind_dim["_dim_key"] == ind_sec["industry"], "left")
-        .join(F.broadcast(sec_dim), F.col("sector") == sec_dim["_dim_key"], "left")
+    ind_dim = _camel_dim(companies, "industry", camel_map=camel_map)
+    ind = ind_dim.join(
+        ind_sec, ind_dim["_dim_key"] == ind_sec["industry"], "left"
     )
+    if camel_map is not None:
+        ind = ind.withColumn(
+            "sec_camel", F.element_at(camel_map, F.col("sector")))
+    else:
+        sec_dim = _camel_dim(companies, "sector") \
+            .withColumnRenamed("camel", "sec_camel") \
+            .withColumnRenamed("_dim_key", "_sec_key")
+        ind = ind.join(
+            F.broadcast(sec_dim),
+            F.col("sector") == sec_dim["_sec_key"], "left",
+        )
     ind_type = ind.select(
         F.concat(F.lit("efin:Industry"), F.col("camel")).alias("subj"),
         F.lit("rdf:type").alias("pred"),
@@ -204,13 +268,19 @@ def _obs_exprs():
     return keep, vrepr, end_d, quarter, subj, entries
 
 
-def observation_triples(obs: DataFrame) -> DataFrame:
+def observation_triples(obs: DataFrame, camel_map=None) -> DataFrame:
     """Observation family (select_xbrl_tags.py:235-400) over the
     CSV-rounded value view."""
-    unit_dim = _camel_dim(obs, "unit").withColumnRenamed("camel", "unit_camel")
-    o = obs.join(
-        F.broadcast(unit_dim), obs["unit"] == unit_dim["_dim_key"], "left"
-    ).drop("_dim_key")
+    if camel_map is not None:
+        o = obs.withColumn(
+            "unit_camel", F.element_at(camel_map, F.col("unit")))
+    else:
+        unit_dim = _camel_dim(obs, "unit") \
+            .withColumnRenamed("camel", "unit_camel")
+        o = obs.join(
+            F.broadcast(unit_dim), obs["unit"] == unit_dim["_dim_key"],
+            "left",
+        ).drop("_dim_key")
 
     keep, vrepr, end_d, quarter, subj, entries = _obs_exprs()
     o = (
@@ -240,7 +310,7 @@ def observation_triples(obs: DataFrame) -> DataFrame:
     return base.unionByName(cf)
 
 
-def instance_dim_triples(obs: DataFrame) -> DataFrame:
+def instance_dim_triples(obs: DataFrame, camel_map=None) -> DataFrame:
     """Unit / Currency / XBRLConcept instance blocks
     (select_xbrl_tags.py:402-431)."""
     valid = obs.where(
@@ -248,7 +318,7 @@ def instance_dim_triples(obs: DataFrame) -> DataFrame:
         & F.col("period_type").isin("duration", "instant")
         & F.col("value").isNotNull()
     )
-    units = _camel_dim(valid, "unit")
+    units = _camel_dim(valid, "unit", camel_map=camel_map)
     unit_t = units.select(
         F.concat(F.lit("efin:Unit"), F.col("camel")).alias("subj"),
         F.lit("rdf:type").alias("pred"), F.lit("efin:Unit").alias("obj"),
@@ -292,20 +362,32 @@ def instance_dim_triples(obs: DataFrame) -> DataFrame:
 
 
 def benchmark_triples(
-    benchmarks: DataFrame, include_industry_scope: bool = False
+    benchmarks: DataFrame, include_industry_scope: bool = False,
+    camel_map=None,
 ) -> DataFrame:
     """Benchmark family (select_xbrl_tags.py:433-489)."""
     b = benchmarks
     if not include_industry_scope:
         b = b.where(F.col("industry") == "")
-    ind_dim = _camel_dim(b, "industry").withColumnRenamed("camel", "ind_camel")
-    met_dim = _camel_dim(b, "metric").withColumnRenamed("camel", "met_camel")
-    b = (
-        b.join(F.broadcast(ind_dim), b["industry"] == ind_dim["_dim_key"], "left")
-        .drop("_dim_key")
-        .join(F.broadcast(met_dim), b["metric"] == met_dim["_dim_key"], "left")
-        .drop("_dim_key")
-    )
+    if camel_map is not None:
+        b = b.withColumn(
+            "ind_camel", F.element_at(camel_map, F.col("industry"))
+        ).withColumn(
+            "met_camel", F.element_at(camel_map, F.col("metric"))
+        )
+    else:
+        ind_dim = _camel_dim(b, "industry") \
+            .withColumnRenamed("camel", "ind_camel")
+        met_dim = _camel_dim(b, "metric") \
+            .withColumnRenamed("camel", "met_camel")
+        b = (
+            b.join(F.broadcast(ind_dim),
+                   b["industry"] == ind_dim["_dim_key"], "left")
+            .drop("_dim_key")
+            .join(F.broadcast(met_dim),
+                  b["metric"] == met_dim["_dim_key"], "left")
+            .drop("_dim_key")
+        )
     subj, repr_cols, entries = _benchmark_exprs()
     for col, expr in repr_cols:
         b = b.withColumn(f"{col}_r", expr)
@@ -356,6 +438,7 @@ def ranking_triples(
     rankings: DataFrame,
     include_industry_scope: bool = False,
     include_sector_scope: bool = False,
+    camel_map=None,
 ) -> DataFrame:
     """TopRanking family + hasRanking backlinks
     (select_xbrl_tags.py:491-609). Top10 only; industry/sector scopes
@@ -367,14 +450,33 @@ def ranking_triples(
         r = r.where(~scoped_ind | (F.col("metric") == "Composite"))
     if not include_sector_scope:
         r = r.where(~scoped_sec | (F.col("metric") == "Composite"))
-    ind_dim = _camel_dim(r, "industry").withColumnRenamed("camel", "ind_camel")
-    sec_dim = _camel_dim(r, "sector").withColumnRenamed("camel", "sec_camel")
-    met_dim = _camel_dim(r, "metric").withColumnRenamed("camel", "met_camel")
-    r = (
-        r.join(F.broadcast(ind_dim), r["industry"] == ind_dim["_dim_key"], "left").drop("_dim_key")
-        .join(F.broadcast(sec_dim), r["sector"] == sec_dim["_dim_key"], "left").drop("_dim_key")
-        .join(F.broadcast(met_dim), r["metric"] == met_dim["_dim_key"], "left").drop("_dim_key")
-    )
+    if camel_map is not None:
+        r = (
+            r.withColumn("ind_camel",
+                         F.element_at(camel_map, F.col("industry")))
+            .withColumn("sec_camel",
+                        F.element_at(camel_map, F.col("sector")))
+            .withColumn("met_camel",
+                        F.element_at(camel_map, F.col("metric")))
+        )
+    else:
+        ind_dim = _camel_dim(r, "industry") \
+            .withColumnRenamed("camel", "ind_camel")
+        sec_dim = _camel_dim(r, "sector") \
+            .withColumnRenamed("camel", "sec_camel")
+        met_dim = _camel_dim(r, "metric") \
+            .withColumnRenamed("camel", "met_camel")
+        r = (
+            r.join(F.broadcast(ind_dim),
+                   r["industry"] == ind_dim["_dim_key"], "left")
+            .drop("_dim_key")
+            .join(F.broadcast(sec_dim),
+                  r["sector"] == sec_dim["_dim_key"], "left")
+            .drop("_dim_key")
+            .join(F.broadcast(met_dim),
+                  r["metric"] == met_dim["_dim_key"], "left")
+            .drop("_dim_key")
+        )
     subj, value_r, score_r, entries = _ranking_exprs()
     r = r.withColumn("value_r", value_r).withColumn("score_r", score_r)
     blocks = _emit(r, subj, list(entries))
@@ -442,18 +544,35 @@ def build_triples(
     construction (one block per key), so no global shuffle-dedup is
     needed; only the bounded dim families get a safety dropDuplicates
     (SectorAll could collide with a literal 'All' sector)."""
+    camel_map = _shared_camel_map(
+        observations, companies, benchmarks, rankings
+    )
     parts = [
-        company_triples(companies),
+        company_triples(companies, camel_map=camel_map),
         global_family_triples(
             observations, companies, benchmarks, rankings,
             include_industry_scope, include_sector_scope,
+            camel_map=camel_map,
         ),
-        observation_triples(observations),
+        observation_triples(observations, camel_map=camel_map),
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _shared_camel_map(observations, companies, benchmarks, rankings):
+    """The one bounded camel map every triple family shares (None over
+    cap -> families fall back to their broadcast-dim joins)."""
+    sources = [(companies, "sector"), (companies, "industry"),
+               (observations, "unit")]
+    if benchmarks is not None:
+        sources += [(benchmarks, "industry"), (benchmarks, "metric")]
+    if rankings is not None:
+        sources += [(rankings, "industry"), (rankings, "sector"),
+                    (rankings, "metric")]
+    return _camel_value_map(sources)
 
 
 def has_all_market(df: DataFrame) -> bool:
@@ -474,6 +593,7 @@ def global_family_triples(
     rankings: DataFrame | None = None,
     include_industry_scope: bool = False,
     include_sector_scope: bool = False,
+    camel_map=None,
 ) -> DataFrame:
     """The BOUNDED global families (entity/instance dims + benchmark +
     ranking triples) as one frame — the piece build_triples and the
@@ -486,8 +606,13 @@ def global_family_triples(
     # action consumes the triples. (The Turtle writer keeps its driver
     # flag — there it is already folded into the one-job family
     # summaries.)
-    out = entity_dim_triples(companies, False).unionByName(
-        instance_dim_triples(observations)
+    if camel_map is None:
+        camel_map = _shared_camel_map(
+            observations, companies, benchmarks, rankings)
+    out = entity_dim_triples(
+        companies, False, camel_map=camel_map
+    ).unionByName(
+        instance_dim_triples(observations, camel_map=camel_map)
     )
     flag_parts = [
         fam.select(F.max(
@@ -513,9 +638,10 @@ def global_family_triples(
         out = out.unionByName(sector_all)
     out = out.dropDuplicates(["subj", "pred", "obj"])
     if benchmarks is not None:
-        out = out.unionByName(
-            benchmark_triples(benchmarks, include_industry_scope))
+        out = out.unionByName(benchmark_triples(
+            benchmarks, include_industry_scope, camel_map=camel_map))
     if rankings is not None:
         out = out.unionByName(ranking_triples(
-            rankings, include_industry_scope, include_sector_scope))
+            rankings, include_industry_scope, include_sector_scope,
+            camel_map=camel_map))
     return out

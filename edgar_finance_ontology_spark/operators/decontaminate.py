@@ -193,19 +193,25 @@ def near_dup_decontaminate(
     the surviving candidate pairs. Fully md5-deterministic — the
     DuckDB oracle replays every stage (queries.SQL_NEAR_DUP_DECON)."""
     from .dedup import (
-        jaccard_on_pairs, lsh_bands, minhash_signatures, word_shingles,
+        jaccard_on_pairs, minhash_lsh_bands_fused, word_shingles,
     )
 
     slim = df.select(
         F.col(id_col).alias("_did"), F.col(source_col).alias("_src"),
         F.col(text_col).alias("_text"),
     )
-    sigs = minhash_signatures(
-        slim, text_col="_text", id_col="_did", n_hashes=n_hashes,
-        shingle_n=shingle_n,
-    )
+    # ONE materialized shingle table feeds banding AND the exact-
+    # Jaccard verify (it appears 4x in the final plan otherwise — the
+    # same re-execution q_minhash_lsh paid before round 6), and the
+    # banding is the fused one-aggregation form (row-identical to
+    # minhash_signatures -> lsh_bands; equality-tested in
+    # tests/test_dedup_scale.py).
+    sh = word_shingles(
+        slim, text_col="_text", n=shingle_n, id_col="_did"
+    ).localCheckpoint(eager=True)
     src = slim.select(F.col("_did").alias("id"), "_src")
-    b = lsh_bands(sigs, bands=bands).join(src, "id")
+    b = minhash_lsh_bands_fused(sh, n_hashes=n_hashes, bands=bands) \
+        .join(src, "id")
     train_b = b.where(F.col("_src") != test_source)
     eval_b = b.where(F.col("_src") == test_source)
     # cap HOT TRAINING buckets (non-discriminative bands); held-out
@@ -224,7 +230,6 @@ def near_dup_decontaminate(
         .select(F.col("id").alias("id_a"), "id_b")
         .distinct()
     )
-    sh = word_shingles(slim, text_col="_text", n=shingle_n, id_col="_did")
     j = jaccard_on_pairs(pairs, sh)
     return (
         j.where(F.col("jaccard") >= threshold)

@@ -47,14 +47,60 @@ def _target_ranks(n: int) -> dict[str, list[int]]:
 
 
 def exact_group_stats(df: DataFrame, group_col: str, value_col: str,
-                      min_n: int = 1) -> pd.DataFrame:
+                      min_n: int = 1,
+                      driver_cap: int = 100_000) -> pd.DataFrame:
     """-> pandas frame (group, n, average, median, max, min, p25, p75)
     with Python-statistics-exact float semantics. The heavy data flows
     through one range shuffle + one narrow pass; only O(P x G) rows hit
-    the driver."""
-    d = (
+    the driver.
+
+    `driver_cap`: when the TOTAL value count is at or below this, the
+    values are collected and the statistics computed directly with the
+    `statistics` module — the literal reference arithmetic, so the
+    numbers are identical to the distributed path (both reproduce
+    statistics.mean/median and nearest-rank percentiles bit-for-bit;
+    tests/test_exact_stats.py pins the two routes against each other).
+    Rationale (guide §1.2 / §2.4): the distributed path costs a
+    range-partitioner sampling job + the counts job + the rank-pick
+    job; below the cap that is three small-job latencies for work one
+    bounded collect covers. Same explicit smaller-than-this-is-local
+    routing as compute_benchmarks' max_list_group and
+    connected_components' driver_cap. Set 0 to force the distributed
+    kernel."""
+    import statistics
+
+    d0 = (
         df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
         .where(F.col("v").isNotNull())
+    )
+    if driver_cap:
+        counts0 = d0.groupBy("g").count().collect()
+        if sum(r["count"] for r in counts0) <= driver_cap:
+            by_group: dict = {}
+            for r in d0.collect():
+                by_group.setdefault(r["g"], []).append(float(r["v"]))
+            rows = []
+            for g in sorted(by_group):
+                vs = sorted(by_group[g])
+                n = len(vs)
+                if n < min_n:
+                    continue
+                rows.append({
+                    "group": g,
+                    "n": n,
+                    "average": statistics.mean(vs),
+                    "median": statistics.median(vs),
+                    "max": vs[-1],
+                    "min": vs[0],
+                    "p25": vs[int(n * 0.25)],
+                    "p75": vs[int(n * 0.75)],
+                })
+            return pd.DataFrame(
+                rows, columns=["group", "n", "average", "median", "max",
+                               "min", "p25", "p75"],
+            )
+    d = (
+        d0
         .repartitionByRange(F.col("g"), F.col("v"))
         .sortWithinPartitions("g", "v")
         .withColumn("pid", F.spark_partition_id())

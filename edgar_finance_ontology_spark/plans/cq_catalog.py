@@ -1304,12 +1304,55 @@ def register_cq_catalog(spark: SparkSession, observations: DataFrame,
     created_by_us = store_dir is None
     new_dir = store_dir or tempfile.mkdtemp(prefix="efin-cq-support-")
     # dependency order: later support views read the parquet-backed
-    # registrations of earlier ones, so each is computed exactly once
-    for name, sql in build_support_views(fy):
-        path = os.path.join(new_dir, name)
-        spark.sql(sql).write.mode("overwrite").parquet(path)
-        spark.read.parquet(path).createOrReplaceTempView(name)
+    # registrations of earlier ones, so each is computed exactly once.
+    # Within one dependency LEVEL the views are independent — write
+    # them from a small thread pool so each wave's small jobs overlap
+    # (guide §2.6); registration stays on the main thread between
+    # waves so a dependent view never sees a half-registered parent.
+    from concurrent.futures import ThreadPoolExecutor
+
+    sqls = dict(build_support_views(fy))
+    order = [n for n, _ in build_support_views(fy)]
+    waves = _support_waves(order)
+
+    def _write(name: str) -> None:
+        spark.sql(sqls[name]).write.mode("overwrite").parquet(
+            os.path.join(new_dir, name))
+
+    for wave in waves:
+        if len(wave) == 1:
+            _write(wave[0])
+        else:
+            with ThreadPoolExecutor(max_workers=len(wave)) as pool:
+                for f in [pool.submit(_write, n) for n in wave]:
+                    f.result()
+        for name in wave:
+            spark.read.parquet(
+                os.path.join(new_dir, name)).createOrReplaceTempView(name)
     _replace_support_store(key, new_dir, created_by_us)
+
+
+# the support-view dependency levels (refs between support views only:
+# ratio_obs <- industry_metric_avg <- quality_leaders;
+# industry_top10_extra <- industry_top10 <- leader_classes;
+# sector_top10 <- leader_classes). _support_waves degrades to the
+# sequential template order whenever the template list and this map
+# disagree (a newly added view stays correct without touching this).
+_SUPPORT_LEVELS = {
+    "efin_ratio_obs": 0, "efin_lineage": 0, "efin_sector_top10": 0,
+    "efin_industry_top10_extra": 0,
+    "efin_industry_metric_avg": 1, "efin_industry_top10": 1,
+    "efin_leader_classes": 2, "efin_quality_leaders": 2,
+}
+
+
+def _support_waves(order: list[str]) -> list[tuple[str, ...]]:
+    if set(order) != set(_SUPPORT_LEVELS):
+        return [(n,) for n in order]
+    waves: dict[int, list[str]] = {}
+    for n in order:
+        waves.setdefault(_SUPPORT_LEVELS[n], []).append(n)
+    return [tuple(waves[k]) for k in sorted(waves)]
 
 
 def _replace_support_store(key: str, new_dir: str,

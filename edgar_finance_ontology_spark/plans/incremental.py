@@ -315,8 +315,19 @@ def run_incremental(
     _tick("obs_readback")
 
     # -- 5. bounded downstream aggregates: full recompute -----------
-    benchmarks = compute_benchmarks(observations, fy).cache()
-    rankings = compute_rankings(observations, fy).cache()
+    # eager localCheckpoint (concurrently — independent given obs), not
+    # cache(): the triple patcher embeds both frames several times and
+    # cache leaves the full window/pivot lineage in every analysis pass
+    # (same rationale and measurement as plans/pipeline.run_pipeline)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fb = _pool.submit(lambda: compute_benchmarks(
+            observations, fy).localCheckpoint(eager=True))
+        _fr = _pool.submit(lambda: compute_rankings(
+            observations, fy).localCheckpoint(eager=True))
+        benchmarks = _fb.result()
+        rankings = _fr.result()
 
     # -- 6. patch the triple table ----------------------------------
     # per-cik families carry their cik inside the subject IRI
@@ -324,14 +335,23 @@ def run_incremental(
     # recoverable from the triple itself
     subj_cik = F.regexp_extract("subj", r"(?:CIK|obs-)(\d{10})", 1)
     if metrics["n_dirty"]:
+        # one bounded camel map shared by the dirty-slice and global
+        # families (dirty values ⊆ the patched full frames, which the
+        # map is collected from) — emit/triples._camel_value_map
+        from ..emit.triples import _shared_camel_map
+
+        camel_map = _shared_camel_map(
+            observations, companies, benchmarks, rankings)
         # snapshot metadata keys partition values as strings (hive dir
         # names); the dirty-bucket set is <= n_cik_buckets rows, a
         # bounded driver collect
         dirty_bucket_set = {
             str(r["cik_bucket"]) for r in dirty_buckets.collect()
         }
-        percik_dirty = company_triples(companies_d).unionByName(
-            observation_triples(obs_dirty)
+        percik_dirty = company_triples(
+            companies_d, camel_map=camel_map
+        ).unionByName(
+            observation_triples(obs_dirty, camel_map=camel_map)
         ).withColumn("family", F.lit("percik")) \
          .withColumn("cik_bucket", cik_bucket_col(subj_cik, n_cik_buckets))
         if snapshots.table_exists(tri_dir):
@@ -368,6 +388,7 @@ def run_incremental(
             global_family_triples(
                 observations, companies, benchmarks, rankings,
                 include_industry_scope, include_sector_scope,
+                camel_map=camel_map,
             )
             .withColumn("family", F.lit("global"))
             .withColumn("cik_bucket", F.lit(-1).cast("int"))

@@ -195,3 +195,23 @@ def test_big_industry_branch_through_run_pipeline(spark, engine_inputs):
     assert any(r[0] == "Mega Industry" for r in rows_big)
     # observations and rankings are routing-invariant
     assert t_list["rankings"].count() == t_big["rankings"].count()
+
+
+def test_driver_cap_route_matches_distributed(spark):
+    """Round-6 driver fast path (total rows <= driver_cap) must equal
+    the distributed range-sort path bit-for-bit."""
+    import random
+
+    from edgar_finance_ontology_spark.operators.exact_stats import (
+        exact_group_stats,
+    )
+
+    rng = random.Random(9)
+    rows = [
+        (f"g{i % 7}", rng.uniform(-1e6, 1e6) * (10 ** (i % 5)))
+        for i in range(3000)
+    ] + [("lone", 42.5)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    fast = exact_group_stats(df, "k", "v", min_n=2)
+    dist = exact_group_stats(df, "k", "v", min_n=2, driver_cap=0)
+    assert fast.to_dict("records") == dist.to_dict("records")
