@@ -93,6 +93,30 @@ def run_queries(names):
     spark.stop()
 
 
+def run_plans(names):
+    """explain("formatted") snapshots only — no timed execution (model
+    fits still run at fn() build time). Cheap enough to run for the
+    whole registry on both the round-start worktree (phase=before) and
+    the final tree (phase=after)."""
+    import contextlib
+    import io
+
+    from edgar_finance_ontology_spark.queries import QUERIES
+
+    os.makedirs(PLAN_DIR, exist_ok=True)
+    spark = _session("efin-plan-snap")
+    for name in names:
+        fn, _sql = QUERIES[name]
+        spark.sparkContext.setJobDescription(f"plan:{name}")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            fn(spark, SF_DIR).explain("formatted")
+        with open(os.path.join(PLAN_DIR, f"{name}_{PHASE}.txt"), "w") as f:
+            f.write(buf.getvalue())
+        print(f"plan {PHASE}: {name}", flush=True)
+    spark.stop()
+
+
 def run_count(names):
     """bench.py-faithful timing: .count() drain, best-of-2."""
     import json
@@ -231,6 +255,48 @@ def run_kg_deep():
     spark.stop()
 
 
+def run_cq():
+    """bench.py-faithful CQ catalog timing: synthesize panel ->
+    run_pipeline -> register_cq_catalog(materialize=True) -> count every
+    view, with per-view clocks."""
+    from edgar_finance_ontology_spark.plans.cq_catalog import (
+        CQ_CATALOG, register_cq_catalog,
+    )
+    from edgar_finance_ontology_spark.plans.pipeline import run_pipeline
+    from edgar_finance_ontology_spark.plans.web_pipeline import (
+        pages_to_inputs,
+    )
+    from edgar_finance_ontology_spark.sources.pages import synthesize_pages
+
+    spark = _session("efin-cq-extra")
+    _warmup(spark)
+    n_companies = int(os.environ.get("EFIN_BENCH_COMPANIES", "240"))
+    pages = synthesize_pages(spark, skew_copies=8, n_buckets=32,
+                             n_companies=n_companies)
+    facts, companies = pages_to_inputs(pages)
+    t = run_pipeline(facts, companies, fy=2024)
+    t0 = time.monotonic()
+    register_cq_catalog(
+        spark, t["observations"], t["companies"], t["benchmarks"],
+        t["rankings"], materialize=True,
+    )
+    reg = time.monotonic() - t0
+    t1 = time.monotonic()
+    per = {}
+    for name in CQ_CATALOG:
+        spark.sparkContext.setJobDescription(f"cq:{name}")
+        v0 = time.monotonic()
+        spark.sql(CQ_CATALOG[name]).count()
+        per[name] = round(time.monotonic() - v0, 3)
+    wall = time.monotonic() - t1
+    slowest = {n: per[n] for n in
+               sorted(per, key=per.get, reverse=True)[:8]}
+    print({"register_sec": round(reg, 3), "cq_wall_sec": round(wall, 3),
+           "median": sorted(per.values())[len(per) // 2],
+           "slowest": slowest}, flush=True)
+    spark.stop()
+
+
 def run_oracle(names):
     """Spark result vs DuckDB oracle for each named query (hash of the
     sorted rows, the CORRECTNESS_r* comparison shape)."""
@@ -270,7 +336,11 @@ def run_oracle(names):
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "queries"
     args = sys.argv[2:]
-    if mode == "count":
+    if mode == "plans":
+        from edgar_finance_ontology_spark.queries import QUERIES
+
+        run_plans(args or sorted(QUERIES))
+    elif mode == "count":
         from edgar_finance_ontology_spark.queries import QUERIES
 
         run_count(args or sorted(QUERIES))
@@ -280,6 +350,8 @@ if __name__ == "__main__":
         run_queries(args or sorted(QUERIES))
     elif mode == "kg":
         run_kg()
+    elif mode == "cq":
+        run_cq()
     elif mode == "kgdeep":
         run_kg_deep()
     elif mode == "oracle":
