@@ -510,13 +510,15 @@ def build_observations(
     the reference CLI's gating."""
     wide = build_wide(facts, companies, fy, tol_days, prefer_unit)
 
-    # ShortTermDebt = DebtCurrent else ShortTermDebt (:1968-1971)
-    wide = wide.withColumn(
-        "stx", F.coalesce(F.col("b_DebtCurrent"), F.col("b_ShortTermDebt"))
-    )
+    # Every chained DataFrame op below re-runs Catalyst ANALYSIS over
+    # the full selection tree (classic-mode Datasets analyze eagerly),
+    # so the post-wide chain is kept to as few ops as possible —
+    # measured ~0.1s of driver time per op at the 240-company panel
+    # (guide §7.3: very large plans make construction a real cost).
+    # ShortTermDebt = DebtCurrent else ShortTermDebt (:1968-1971);
     # COGS with its Revenue-GrossProfit fallback (:1985-2002) — the
     # fallback feeds derived metrics too (select_cogs in
-    # compute_other_derived, :2583)
+    # compute_other_derived, :2583). Both folded into ONE select.
     rev_s, gp_s = F.col("b_Revenue"), F.col("b_GrossProfit")
     cogs_fb = F.struct(
         F.lit("derived").alias("source_type"),
@@ -528,12 +530,15 @@ def build_observations(
         rev_s["accn"].alias("accn"),
         F.lit(0.60).alias("confidence"),
     )
-    wide = wide.withColumn(
-        "cogx",
+    wide = wide.select(
+        "*",
+        F.coalesce(
+            F.col("b_DebtCurrent"), F.col("b_ShortTermDebt")
+        ).alias("stx"),
         F.coalesce(
             F.col("b_CostOfGoodsSold"),
             F.when(rev_s.isNotNull() & gp_s.isNotNull(), cogs_fb),
-        ),
+        ).alias("cogx"),
     )
     entries = list(_emission_entries(
         tuple(metrics), bool(include_derived), bool(skip_derived)))
@@ -541,22 +546,23 @@ def build_observations(
     exploded = (
         wide.select("cik", F.explode(F.array(*entries)).alias("o"))
         .where(F.col("o").isNotNull())
-        .select("cik", "o.*")
     )
 
     meta = companies.select(
         "cik", "symbol", "name", "sector", "industry", "sic",
         "sic_description", "fye",
     )
+    # the struct fields are projected straight out of `o` in the same
+    # select as the meta join output (one analysis pass instead of two)
     out = exploded.join(F.broadcast(meta), "cik").select(
         "cik", "symbol", "name", "sector", "industry", "sic",
         "sic_description", "fye",
         F.lit(fy).alias("fy"),
-        "metric", "is_derived", "value", "unit", "period_type", "end",
-        "form", "accn", "source_type", "selected_tag",
+        "o.metric", "o.is_derived", "o.value", "o.unit", "o.period_type",
+        "o.end", "o.form", "o.accn", "o.source_type", "o.selected_tag",
         F.lit("").alias("composite_name"),
-        "computed_from", "confidence", "reason",
+        "o.computed_from", "o.confidence", "o.reason",
         F.lit("[]").alias("components"),
-        "ord",
+        "o.ord",
     )
     return out.orderBy("cik", "ord").drop("ord")
